@@ -1,0 +1,300 @@
+"""Mel filterbanks and log-mel front end (TPU-native).
+
+Replaces the reference's CPU torchaudio chain
+(reference: src/data/preprocessing.py:38-47 — T.MelSpectrogram(power=2.0)
+-> T.AmplitudeToDB) and the librosa chain its spectrogram analyzer uses
+(reference: realtime_analyzer_spec.py:295-305 — librosa.feature.melspectrogram
+-> librosa.power_to_db(ref=np.max)). Both conventions are supported
+explicitly:
+
+- mel_scale: "htk" (torchaudio default) or "slaney" (librosa default)
+- norm: None (torchaudio default) or "slaney" (librosa default)
+- amplitude_to_db: torchaudio semantics (10*log10(max(x, amin)), ref=1.0)
+- power_to_db: librosa semantics (ref=max, top_db clipping)
+
+The whole front end is a single fused XLA graph: framing gather -> window
+multiply -> DFT -> power -> mel matmul -> log -> normalize. On TPU the mel
+projection is a (T, n_bins) @ (n_bins, n_mels) matmul on the MXU; the
+Pallas kernel in ops/pallas_mel.py fuses the same chain by hand.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_classification_icbhi_tpu.ops import stft as stft_ops
+
+
+# --- Mel scales ------------------------------------------------------------
+
+_F_SP = 200.0 / 3.0  # Slaney: 66.67 Hz per mel below 1 kHz
+_MIN_LOG_HZ = 1000.0
+_MIN_LOG_MEL = _MIN_LOG_HZ / _F_SP
+_LOGSTEP = np.log(6.4) / 27.0
+
+
+def hz_to_mel(freq, mel_scale: str = "htk"):
+    """Hz -> mel. HTK: 2595*log10(1+f/700). Slaney: linear<1kHz, log above."""
+    freq = np.asarray(freq, dtype=np.float64)
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    if mel_scale != "slaney":
+        raise ValueError(f"unknown mel_scale: {mel_scale!r}")
+    mel = freq / _F_SP
+    log_region = freq >= _MIN_LOG_HZ
+    mel = np.where(
+        log_region,
+        _MIN_LOG_MEL + np.log(np.maximum(freq, _MIN_LOG_HZ) / _MIN_LOG_HZ) / _LOGSTEP,
+        mel,
+    )
+    return mel
+
+
+def mel_to_hz(mel, mel_scale: str = "htk"):
+    """Mel -> Hz (inverse of hz_to_mel)."""
+    mel = np.asarray(mel, dtype=np.float64)
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    if mel_scale != "slaney":
+        raise ValueError(f"unknown mel_scale: {mel_scale!r}")
+    freq = _F_SP * mel
+    log_region = mel >= _MIN_LOG_MEL
+    freq = np.where(log_region, _MIN_LOG_HZ * np.exp(_LOGSTEP * (mel - _MIN_LOG_MEL)), freq)
+    return freq
+
+
+@functools.lru_cache(maxsize=16)
+def _mel_filterbank_np(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float,
+    f_max: float,
+    mel_scale: str,
+    norm: str | None,
+) -> np.ndarray:
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    m_min = hz_to_mel(f_min, mel_scale)
+    m_max = hz_to_mel(f_max, mel_scale)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = mel_to_hz(m_pts, mel_scale)
+    # Triangular filters between consecutive mel-spaced frequency points.
+    f_diff = f_pts[1:] - f_pts[:-1]                       # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]          # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[None, :-1]            # rising edge
+    up = slopes[:, 2:] / f_diff[None, 1:]                 # falling edge
+    fb = np.maximum(0.0, np.minimum(down, up))            # (n_freqs, n_mels)
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
+    elif norm is not None:
+        raise ValueError(f"unknown norm: {norm!r}")
+    return fb.astype(np.float32)
+
+
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+    mel_scale: str = "htk",
+    norm: str | None = None,
+) -> jax.Array:
+    """Triangular mel filterbank, shape (n_fft//2+1, n_mels).
+
+    Defaults reproduce torchaudio MelSpectrogram (htk scale, no norm);
+    (mel_scale="slaney", norm="slaney") reproduces librosa defaults.
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    return jnp.asarray(
+        _mel_filterbank_np(sample_rate, n_fft, n_mels, float(f_min), float(f_max), mel_scale, norm)
+    )
+
+
+# --- dB conversion ----------------------------------------------------------
+
+def amplitude_to_db(
+    x: jax.Array,
+    *,
+    stype: str = "power",
+    ref: float = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = None,
+) -> jax.Array:
+    """torchaudio T.AmplitudeToDB semantics (reference preprocessing.py:47).
+
+    power: 10*log10(max(x, amin)) - 10*log10(max(amin, ref)).
+    top_db, if given, clips per-example to (max - top_db) over the last
+    two (freq, time) axes.
+    """
+    multiplier = 10.0 if stype == "power" else 20.0
+    db = multiplier * jnp.log10(jnp.maximum(x, amin))
+    db = db - multiplier * float(np.log10(max(amin, ref)))
+    if top_db is not None:
+        peak = jnp.max(db, axis=(-2, -1), keepdims=True)
+        db = jnp.maximum(db, peak - top_db)
+    return db
+
+
+def power_to_db(
+    x: jax.Array,
+    *,
+    ref: str | float = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = 80.0,
+) -> jax.Array:
+    """librosa.power_to_db semantics (reference realtime_analyzer_spec.py:305).
+
+    ref="max" uses the per-array max as the reference (librosa ref=np.max).
+    """
+    x = jnp.asarray(x)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(x, amin))
+    if isinstance(ref, str):
+        if ref != "max":
+            raise ValueError("ref must be a float or 'max'")
+        ref_val = jnp.max(x)
+    else:
+        ref_val = jnp.asarray(ref)
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(ref_val, amin))
+    if top_db is not None:
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+    return log_spec
+
+
+# --- Fused log-mel front end -------------------------------------------------
+
+def log_mel_spectrogram(
+    waveform: jax.Array,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    *,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+    mel_scale: str = "htk",
+    norm: str | None = None,
+    power: float = 2.0,
+    center: bool = True,
+    use_matmul_dft: bool = False,
+    to_db: str = "amplitude",  # "amplitude" (torchaudio) | "power_max" (librosa) | "none"
+    top_db: float | None = None,
+) -> jax.Array:
+    """waveform (..., L) -> log-mel (..., n_mels, T). Fully jittable."""
+    spec = stft_ops.spectrogram(
+        waveform, n_fft, hop_length, power=power, center=center, use_matmul_dft=use_matmul_dft
+    )  # (..., n_bins, T)
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max, mel_scale, norm)
+    # (..., n_bins, T) x (n_bins, n_mels) -> (..., n_mels, T). HIGHEST keeps
+    # f32 MXU accuracy (TPU default bf16 precision breaks 1e-3 mel parity).
+    mel = jnp.einsum(
+        "...ft,fm->...mt", spec, fb,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    if to_db == "amplitude":
+        return amplitude_to_db(mel, stype="power" if power == 2.0 else "magnitude", top_db=top_db)
+    if to_db == "power_max":
+        return power_to_db(mel, ref="max", top_db=80.0 if top_db is None else top_db)
+    if to_db == "none":
+        return mel
+    raise ValueError(f"unknown to_db mode: {to_db!r}")
+
+
+def normalize_spectrogram(mel_spec: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Per-example zero-mean unit-variance normalization
+    (reference preprocessing.py:111-116 normalizes over the whole tensor;
+    here per leading example so it vmaps/batches identically)."""
+    axes = tuple(range(mel_spec.ndim - 2, mel_spec.ndim))
+    mean = jnp.mean(mel_spec, axis=axes, keepdims=True)
+    # Match torch.std default: unbiased (ddof=1).
+    n = np.prod([mel_spec.shape[a] for a in axes])
+    var = jnp.var(mel_spec, axis=axes, keepdims=True) * (n / max(n - 1, 1))
+    return (mel_spec - mean) / (jnp.sqrt(var) + eps)
+
+
+class MelFrontend:
+    """Configured wav->normalized-log-mel transform (the on-device analog of
+    reference AudioPreprocessor, src/data/preprocessing.py:9-151, minus file
+    I/O which stays on the host).
+
+    Call with a (..., L) float32 waveform; returns (..., n_mels, T).
+    The instance is hashable/static so jitted functions can close over it.
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        n_mels: int = 128,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        duration: float = 5.0,
+        *,
+        mel_scale: str = "htk",
+        norm: str | None = None,
+        use_matmul_dft: bool = True,
+        normalize: bool = True,
+    ):
+        self.sample_rate = sample_rate
+        self.n_mels = n_mels
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.duration = duration
+        self.target_length = int(sample_rate * duration)
+        self.mel_scale = mel_scale
+        self.norm = norm
+        self.use_matmul_dft = use_matmul_dft
+        self.normalize = normalize
+
+    @property
+    def num_frames(self) -> int:
+        return stft_ops.num_frames(self.target_length, self.n_fft, self.hop_length)
+
+    def __call__(self, waveform: jax.Array) -> jax.Array:
+        mel = log_mel_spectrogram(
+            waveform,
+            self.sample_rate,
+            self.n_fft,
+            self.hop_length,
+            self.n_mels,
+            mel_scale=self.mel_scale,
+            norm=self.norm,
+            use_matmul_dft=self.use_matmul_dft,
+        )
+        if self.normalize:
+            mel = normalize_spectrogram(mel)
+        return mel
+
+    def pad_or_crop(self, waveform: jax.Array) -> jax.Array:
+        """Zero-pad at the end or center-crop to target_length
+        (reference preprocessing.py:70-83)."""
+        length = waveform.shape[-1]
+        if length < self.target_length:
+            pad = self.target_length - length
+            return jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(0, pad)])
+        if length > self.target_length:
+            start = (length - self.target_length) // 2
+            return jax.lax.slice_in_dim(
+                waveform, start, start + self.target_length, axis=waveform.ndim - 1
+            )
+        return waveform
+
+    # Static hashability so this object can be a jit static arg.
+    def _key(self):
+        return (
+            self.sample_rate, self.n_mels, self.n_fft, self.hop_length,
+            self.target_length, self.mel_scale, self.norm,
+            self.use_matmul_dft, self.normalize,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, MelFrontend) and self._key() == other._key()

@@ -1,0 +1,106 @@
+"""Config loading, seeding, and mesh/device selection.
+
+TPU-native counterpart of reference src/utils/config.py:9-57: same YAML
+schema (sections data/model/training/device/classes/seed, see
+reference config.yaml), but `get_device` becomes `get_mesh` — device
+placement on TPU is a jax.sharding.Mesh over however many chips exist,
+not a single cuda/cpu pick.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Any
+
+import jax
+import numpy as np
+import yaml
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "data": {
+        "dataset_path": "data/ICBHI",
+        "sample_rate": 16000,
+        "n_mels": 128,
+        "n_fft": 2048,
+        "hop_length": 512,
+        "duration": 8.0,
+        "augmentation": True,
+        "train_split": 0.7,
+        "val_split": 0.15,
+        "test_split": 0.15,
+    },
+    "model": {"architecture": "cnn", "num_classes": 4, "dropout": 0.3},
+    "training": {
+        "batch_size": 32,
+        "epochs": 100,
+        "learning_rate": 0.003,
+        "weight_decay": 0.0001,
+        "optimizer": "adam",
+        "scheduler": "cosine",
+        "mixed_precision": True,
+        "gradient_accumulation_steps": 2,
+        "early_stopping_patience": 15,
+        "checkpoint_dir": "checkpoints",
+        "log_dir": "runs",
+        "save_every": 5,
+    },
+    "device": {"use_cuda": True, "num_workers": 4, "pin_memory": True},
+    "classes": ["normal", "crackles", "wheezes", "both"],
+    "seed": 42,
+}
+
+
+def _deep_update(base: dict, overrides: dict) -> dict:
+    out = dict(base)
+    for k, v in overrides.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_update(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(config_path: str | None = None) -> dict[str, Any]:
+    """Load a YAML config (reference src/utils/config.py:9-21), merged over
+    defaults so partial configs are valid."""
+    if config_path is None:
+        return {k: (dict(v) if isinstance(v, dict) else v) for k, v in DEFAULT_CONFIG.items()}
+    with open(config_path, "r") as f:
+        user = yaml.safe_load(f) or {}
+    return _deep_update(DEFAULT_CONFIG, user)
+
+
+def set_seed(seed: int = 42) -> jax.Array:
+    """Seed python/numpy RNGs and return the root jax PRNG key.
+
+    The reference seeds torch + cudnn globally (src/utils/config.py:24-37);
+    in JAX determinism is structural — all on-device randomness flows from
+    the returned key.
+    """
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def get_mesh(axis_name: str = "data", num_devices: int | None = None) -> jax.sharding.Mesh:
+    """1-D device mesh over all local devices (TPU analog of reference
+    get_device, src/utils/config.py:40-57). Data parallelism shards the
+    batch over `axis_name`; collectives ride ICI."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return jax.sharding.Mesh(np.array(devices), (axis_name,))
+
+
+def describe_devices() -> str:
+    devs = jax.devices()
+    return f"{len(devs)}x {devs[0].platform}:{getattr(devs[0], 'device_kind', '?')}"
+
+
+def force_host_cpu_devices(n: int = 8) -> None:
+    """Test helper: emulate an n-device mesh on CPU. Must run before jax init."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
+    )
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")

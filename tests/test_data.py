@@ -1,0 +1,209 @@
+"""Data pipeline tests: WAV I/O, annotations, datasets, loader, segmenter.
+
+Covers the behaviors the reference exercises manually via __main__ blocks
+and diagnose_data.py (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from audio_classification_icbhi_tpu.data import (
+    BatchLoader,
+    ICBHIDataset,
+    ICBHISegmentedDataset,
+    ICBHISegmenter,
+    generate_icbhi_dataset,
+    generate_segmented_dataset,
+    load_audio,
+    read_wav,
+    recording_label,
+    write_wav,
+)
+from audio_classification_icbhi_tpu.data.annotations import (
+    label_from_flags,
+    parse_annotation_file,
+)
+from audio_classification_icbhi_tpu.data.wavio import resample_np
+
+
+@pytest.fixture(scope="module")
+def icbhi_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("icbhi")
+    generate_icbhi_dataset(root, num_recordings=10, cycles_per_recording=3)
+    return root
+
+
+@pytest.fixture(scope="module")
+def segmented_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("icbhi_seg")
+    generate_segmented_dataset(root, per_class=6, duration=1.0)
+    return root
+
+
+CFG = {
+    "data": {
+        "sample_rate": 16000,
+        "n_mels": 128,
+        "n_fft": 2048,
+        "hop_length": 512,
+        "duration": 3.0,
+        "train_split": 0.7,
+        "val_split": 0.15,
+    }
+}
+
+
+class TestWavIO:
+    @pytest.mark.parametrize("dtype", ["int16", "float32"])
+    def test_roundtrip(self, tmp_path, rng, dtype):
+        x = (0.5 * rng.standard_normal(8000)).astype(np.float32)
+        p = tmp_path / "a.wav"
+        write_wav(p, x, 16000, dtype=dtype)
+        y, sr = read_wav(p)
+        assert sr == 16000 and y.shape == (1, 8000)
+        if dtype == "int16":
+            np.testing.assert_allclose(y[0], np.clip(x, -1, 1), atol=1e-4)
+        else:  # float32 stores samples verbatim, no clipping
+            np.testing.assert_array_equal(y[0], x)
+
+    def test_stereo_mono_mix(self, tmp_path, rng):
+        x = rng.standard_normal((2, 4000)).astype(np.float32) * 0.3
+        p = tmp_path / "st.wav"
+        write_wav(p, x, 22050)
+        mono, sr = load_audio(p)
+        assert sr == 22050
+        # int16 encoding clips at +-1 before the mono mix
+        np.testing.assert_allclose(mono, np.clip(x, -1, 1).mean(axis=0), atol=1e-4)
+
+    def test_load_audio_resamples(self, tmp_path, rng):
+        x = (0.5 * rng.standard_normal(44100)).astype(np.float32)
+        p = tmp_path / "r.wav"
+        write_wav(p, x, 44100, dtype="float32")
+        y, sr = load_audio(p, target_sr=16000)
+        assert sr == 16000 and y.shape == (16000,)
+
+    def test_resample_np_matches_device_kernel(self, rng):
+        import jax.numpy as jnp
+        from audio_classification_icbhi_tpu.ops import resample as dev_resample
+        x = rng.standard_normal(22050).astype(np.float32)
+        host = resample_np(x, 22050, 16000)
+        dev = np.asarray(dev_resample(jnp.asarray(x), 22050, 16000))
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(host, dev, atol=1e-4)
+
+    def test_bad_file_raises(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"this is not a wav file at all")
+        with pytest.raises(ValueError, match="not a RIFF"):
+            read_wav(p)
+
+
+class TestAnnotations:
+    def test_label_mapping(self):
+        assert label_from_flags(0, 0) == 0
+        assert label_from_flags(1, 0) == 1
+        assert label_from_flags(0, 1) == 2
+        assert label_from_flags(1, 1) == 3
+
+    def test_parse_and_recording_label(self, tmp_path):
+        txt = tmp_path / "x.txt"
+        txt.write_text("0.0\t2.5\t1\t0\n2.5\t5.0\t0\t1\nmalformed line\n")
+        cycles = parse_annotation_file(txt)
+        assert len(cycles) == 2
+        assert recording_label(txt) == 3  # crackles OR + wheezes OR -> both
+
+    def test_all_normal(self, tmp_path):
+        txt = tmp_path / "n.txt"
+        txt.write_text("0\t2\t0\t0\n2\t4\t0\t0\n")
+        assert recording_label(txt) == 0
+
+
+class TestDatasets:
+    def test_whole_recording_split_sizes(self, icbhi_root):
+        train = ICBHIDataset(icbhi_root, "train", CFG)
+        val = ICBHIDataset(icbhi_root, "val", CFG)
+        test = ICBHIDataset(icbhi_root, "test", CFG)
+        assert len(train) == 7 and len(val) == 1 and len(test) == 2
+        # Positional split on the sorted list: no overlap
+        paths = {p for p, _ in train.data} | {p for p, _ in val.data} | {p for p, _ in test.data}
+        assert len(paths) == 10
+
+    def test_item_shape_fixed(self, icbhi_root):
+        ds = ICBHIDataset(icbhi_root, "train", CFG)
+        wav, label = ds[0]
+        assert wav.shape == (48000,) and wav.dtype == np.float32
+        assert 0 <= label <= 3
+
+    def test_segmented_split_and_shuffle_determinism(self, segmented_root):
+        a = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        b = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        assert [p for p, _ in a.data] == [p for p, _ in b.data]  # seed-42 shuffle
+        assert len(a) == int(0.7 * 24)
+
+    def test_segmented_bad_split_renormalized(self, segmented_root, capsys):
+        cfg = {"data": {**CFG["data"], "train_split": 0.75, "val_split": 0.45}}
+        test = ICBHISegmentedDataset(segmented_root, "test", cfg)
+        assert len(test) > 0  # reference would produce an empty test set here
+        assert "renormalizing" in capsys.readouterr().out
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            ICBHIDataset(tmp_path / "nope", "train", CFG)
+        with pytest.raises(ValueError):
+            ICBHISegmentedDataset(tmp_path / "nope2", "train", CFG)
+
+
+class TestBatchLoader:
+    def test_shapes_order_and_drop_last(self, segmented_root):
+        ds = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == len(ds) // 4 == len(loader)
+        for wavs, labels in batches:
+            assert wavs.shape == (4, 48000) and labels.shape == (4,)
+        # Unshuffled loader preserves dataset order
+        np.testing.assert_array_equal(
+            np.concatenate([lbl for _, lbl in batches]),
+            ds.labels[: len(batches) * 4],
+        )
+
+    def test_shuffle_deterministic_per_epoch(self, segmented_root):
+        ds = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        l1 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+        l2 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+        a = np.concatenate([lbl for _, lbl in l1])
+        b = np.concatenate([lbl for _, lbl in l2])
+        np.testing.assert_array_equal(a, b)
+        # second epoch differs from first
+        c = np.concatenate([lbl for _, lbl in l1])
+        assert not np.array_equal(a, c)
+
+    def test_last_partial_batch_kept_without_drop(self, segmented_root):
+        ds = ICBHISegmentedDataset(segmented_root, "val", CFG)
+        loader = BatchLoader(ds, batch_size=4, drop_last=False)
+        total = sum(len(lbl) for _, lbl in loader)
+        assert total == len(ds)
+
+
+class TestSegmenter:
+    def test_etl_roundtrip(self, icbhi_root, tmp_path):
+        seg = ICBHISegmenter(icbhi_root / "audio_and_txt_files", tmp_path / "out")
+        stats = seg.process_all()
+        assert stats["processed_files"] == 10
+        assert stats["total_segments"] > 0
+        assert (tmp_path / "out" / "segmentation_stats.json").exists()
+        # every written segment is loadable and labeled by its directory
+        ds = ICBHISegmentedDataset(tmp_path / "out", "train", CFG)
+        wav, label = ds[0]
+        assert wav.shape == (48000,)
+
+    def test_min_duration_skips(self, tmp_path, rng):
+        d = tmp_path / "in"
+        d.mkdir()
+        x = rng.standard_normal(16000).astype(np.float32) * 0.1
+        write_wav(d / "a.wav", x, 16000)
+        (d / "a.txt").write_text("0.0\t0.2\t0\t0\n0.3\t0.9\t1\t0\n")
+        seg = ICBHISegmenter(d, tmp_path / "o", min_duration=0.5)
+        stats = seg.process_all()
+        assert stats["skipped_segments"] == 1
+        assert stats["crackle"] == 1
