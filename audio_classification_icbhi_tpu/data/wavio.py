@@ -142,10 +142,18 @@ def load_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarr
     """Decode -> mono mix -> optional resample. Returns ((n,) float32, sr).
 
     Mirrors the reference load chain (preprocessing.py:55-68: mono mean over
-    channels, resample if sr differs).
+    channels, resample if sr differs). Decode goes through the native C++
+    fastwav library when available (GIL-free, threaded), with this module's
+    numpy codec as the fallback.
     """
-    x, sr = read_wav(path)
-    mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
+    from audio_classification_icbhi_tpu import native
+
+    decoded = native.decode_mono(path)
+    if decoded is not None:
+        mono, sr = decoded
+    else:
+        x, sr = read_wav(path)
+        mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
     if target_sr is not None and sr != target_sr:
         mono = resample_np(mono, sr, target_sr)
         sr = target_sr

@@ -1,0 +1,159 @@
+"""Checkpoint-driven inference engine.
+
+The model is rebuilt from the config EMBEDDED in the checkpoint — the
+self-describing-checkpoint contract the reference establishes
+(reference cli.py:16-41, validate.py:46-54): consumers never need the
+original YAML.
+
+One jitted wav->(probs) graph serves single-clip and batch classification;
+batches are padded to a fixed shape so the graph compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from audio_classification_icbhi_tpu.data import wavio
+from audio_classification_icbhi_tpu.models import build_model
+from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+from audio_classification_icbhi_tpu.parallel.data_parallel import features_from_wavs
+from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint
+
+
+class ClassifierEngine:
+    """wav -> 4-class probabilities from a self-describing checkpoint."""
+
+    def __init__(self, checkpoint_path: str | Path, batch_size: int = 32):
+        ckpt = load_checkpoint(checkpoint_path)
+        if "config" not in ckpt:
+            raise ValueError(f"checkpoint {checkpoint_path} has no embedded config")
+        self.config: dict[str, Any] = ckpt["config"]
+        self.class_names: list[str] = list(self.config["classes"])
+        self.batch_size = batch_size
+        dcfg = self.config["data"]
+        self.frontend = MelFrontend(
+            sample_rate=dcfg["sample_rate"],
+            n_mels=dcfg["n_mels"],
+            n_fft=dcfg["n_fft"],
+            hop_length=dcfg["hop_length"],
+            duration=dcfg["duration"],
+        )
+        self.model = build_model(self.config)
+        # bind restored state onto a template of the right pytree structure
+        dummy = jnp.zeros((1, dcfg["n_mels"], self.frontend.num_frames, 1), jnp.float32)
+        template = self.model.init(jax.random.PRNGKey(0), dummy, train=False)
+        self.params = serialization.from_state_dict(template["params"], ckpt["params"])
+        self.batch_stats = serialization.from_state_dict(
+            template.get("batch_stats", {}), ckpt.get("batch_stats", {})
+        )
+        self.epoch = int(ckpt.get("epoch", -1))
+        self.val_loss = float(ckpt.get("val_loss", float("nan")))
+        self.extras = {
+            k: ckpt[k] for k in ("icbhi_score", "icbhi_metrics") if k in ckpt
+        }
+
+    @functools.cached_property
+    def _probs_fn(self):
+        model, frontend = self.model, self.frontend
+        params, batch_stats = self.params, self.batch_stats
+
+        @jax.jit
+        def probs_fn(wavs):
+            feats = features_from_wavs(frontend, wavs)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, feats, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        return probs_fn
+
+    def predict_probs(self, wavs: np.ndarray) -> np.ndarray:
+        """(B, target_length) waveforms -> (B, C) probabilities; pads the
+        batch to self.batch_size so the graph compiles once."""
+        b = wavs.shape[0]
+        out = []
+        for i in range(0, b, self.batch_size):
+            chunk = wavs[i : i + self.batch_size]
+            n = chunk.shape[0]
+            if n < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:], chunk.dtype)]
+                )
+            out.append(np.asarray(self._probs_fn(jnp.asarray(chunk)))[:n])
+        return np.concatenate(out)
+
+    def _load_clip(self, audio_path: str | Path) -> np.ndarray:
+        wav, _ = wavio.load_audio(audio_path, target_sr=self.frontend.sample_rate)
+        n, target = wav.shape[-1], self.frontend.target_length
+        if n < target:
+            wav = np.pad(wav, (0, target - n))
+        elif n > target:
+            start = (n - target) // 2
+            wav = wav[start : start + target]
+        return wav.astype(np.float32)
+
+    def classify_file(self, audio_path: str | Path) -> dict:
+        """Single-file result dict, same schema as reference cli.py:44-66."""
+        wav = self._load_clip(audio_path)
+        probs = self.predict_probs(wav[None])[0]
+        pred = int(np.argmax(probs))
+        return {
+            "audio_path": str(audio_path),
+            "predicted_class": self.class_names[pred],
+            "confidence": float(probs[pred]),
+            "probabilities": {
+                self.class_names[i]: float(probs[i]) for i in range(len(self.class_names))
+            },
+        }
+
+    def classify_files(self, audio_paths: list) -> list[dict]:
+        """True batched multi-file classification (the reference's
+        classify-batch loops one file at a time, cli.py:140-145)."""
+        wavs, ok_paths, results = [], [], []
+        for p in audio_paths:
+            try:
+                wavs.append(self._load_clip(p))
+                ok_paths.append(p)
+            except Exception as e:
+                print(f"Error processing {p}: {e}")
+        if not wavs:
+            return results
+        probs = self.predict_probs(np.stack(wavs))
+        for path, pr in zip(ok_paths, probs):
+            pred = int(np.argmax(pr))
+            results.append(
+                {
+                    "audio_path": str(path),
+                    "predicted_class": self.class_names[pred],
+                    "confidence": float(pr[pred]),
+                    "probabilities": {
+                        self.class_names[i]: float(pr[i])
+                        for i in range(len(self.class_names))
+                    },
+                }
+            )
+        return results
+
+    def describe(self) -> dict:
+        """Model info for `cli.py info` (reference cli.py:171-195)."""
+        from audio_classification_icbhi_tpu.models import count_parameters
+
+        return {
+            "architecture": self.config["model"]["architecture"],
+            "num_classes": self.config["model"]["num_classes"],
+            "parameters": count_parameters(self.params),
+            "epoch": self.epoch,
+            "val_loss": self.val_loss,
+            "classes": self.class_names,
+            "sample_rate": self.config["data"]["sample_rate"],
+            "n_mels": self.config["data"]["n_mels"],
+            "duration": self.config["data"]["duration"],
+            **self.extras,
+        }

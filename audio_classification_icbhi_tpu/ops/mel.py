@@ -256,8 +256,10 @@ class MelFrontend:
     def num_frames(self) -> int:
         return stft_ops.num_frames(self.target_length, self.n_fft, self.hop_length)
 
-    def __call__(self, waveform: jax.Array) -> jax.Array:
-        mel = log_mel_spectrogram(
+    def log_mel(self, waveform: jax.Array) -> jax.Array:
+        """Un-normalized log-mel (..., n_mels, T) — the point in the chain
+        where SpecAugment applies (reference preprocessing.py:139-146)."""
+        return log_mel_spectrogram(
             waveform,
             self.sample_rate,
             self.n_fft,
@@ -267,6 +269,9 @@ class MelFrontend:
             norm=self.norm,
             use_matmul_dft=self.use_matmul_dft,
         )
+
+    def __call__(self, waveform: jax.Array) -> jax.Array:
+        mel = self.log_mel(waveform)
         if self.normalize:
             mel = normalize_spectrogram(mel)
         return mel

@@ -1,0 +1,215 @@
+"""SPMD data-parallel train/eval steps (shard_map + psum over the mesh).
+
+This is the TPU-native replacement for the reference's single-device train
+loop internals (reference src/training/trainer_fixed.py:136-240):
+
+- the whole hot path — waveform augmentation, mel front end, model
+  forward/backward, loss, optimizer math — is ONE jitted XLA program;
+- the global batch is sharded over the 'data' mesh axis; gradients and
+  metric sums are psum'd over ICI (the role NCCL would play);
+- gradient accumulation is a lax.scan over stacked microbatches
+  (reference :167-180 accumulates across loader iterations);
+- BatchNorm batch statistics sync across replicas through the models'
+  axis_name (pmean), unlike the reference's per-device stats;
+- class-weighted CE matches torch.nn.CrossEntropyLoss(weight=...):
+  sum(w[y] * ce) / sum(w[y]) (reference :53, :116-134);
+- global-norm clipping at 1.0 matches torch clip_grad_norm_ (:170-177);
+- the learning rate enters as a traced scalar so per-epoch host-side
+  schedulers (cosine/plateau/step) never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from audio_classification_icbhi_tpu.ops import augment as aug_ops
+from audio_classification_icbhi_tpu.ops.mel import MelFrontend, normalize_spectrogram
+from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS
+
+
+def weighted_cross_entropy(
+    logits: jax.Array, labels: jax.Array, class_weights: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-shard sums for torch-semantics weighted CE.
+
+    Returns (sum_i w[y_i]*ce_i*mask_i, sum_i w[y_i]*mask_i); the global loss
+    is the ratio of the psum'd sums — exactly
+    torch.nn.CrossEntropyLoss(weight=w) over the global batch.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    w = class_weights[labels] * mask
+    return jnp.sum(w * ce), jnp.sum(w)
+
+
+def _augment_batch(key: jax.Array, wavs: jax.Array) -> jax.Array:
+    """Per-sample independent waveform augmentation (reference
+    preprocessing.py:95-103, applied per __getitem__ there)."""
+    keys = jax.random.split(key, wavs.shape[0])
+    return jax.vmap(aug_ops.augment_waveform)(keys, wavs)
+
+
+def _augment_spec_batch(key: jax.Array, mels: jax.Array) -> jax.Array:
+    keys = jax.random.split(key, mels.shape[0])
+    return jax.vmap(aug_ops.augment_spectrogram)(keys, mels)
+
+
+def features_from_wavs(
+    frontend: MelFrontend,
+    wavs: jax.Array,
+    *,
+    augment: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """wav (b, L) -> NHWC mel image (b, n_mels, T, 1), with the reference's
+    augmentation ordering: wave-aug -> mel -> dB -> spec-aug -> normalize
+    (reference preprocessing.py:118-151)."""
+    if augment:
+        k_wav, k_spec = jax.random.split(key)
+        wavs = _augment_batch(k_wav, wavs)
+    mel = frontend.log_mel(wavs)
+    if augment:
+        mel = _augment_spec_batch(k_spec, mel)
+    mel = normalize_spectrogram(mel)
+    return mel[..., None]
+
+
+class TrainStepFns(NamedTuple):
+    train_step: Callable
+    eval_step: Callable
+
+
+def clip_by_global_norm(grads, max_norm: float = 1.0):
+    """torch.nn.utils.clip_grad_norm_ semantics (clip_coef = max_norm/(g+1e-6),
+    applied only when < 1)."""
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
+
+
+def make_step_fns(
+    model,
+    frontend: MelFrontend,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    accum_steps: int = 1,
+    augment: bool = False,
+    max_grad_norm: float = 1.0,
+    axis_name: str = DATA_AXIS,
+) -> TrainStepFns:
+    """Build jitted, mesh-sharded train/eval steps.
+
+    train_step(params, batch_stats, opt_state, wavs (A, B, L), labels (A, B),
+               class_weights (C,), lr scalar, key)
+        -> (params, batch_stats, opt_state, metrics)
+    where A = accum_steps microbatches and B = global batch (sharded).
+    metrics = {loss: torch-semantics epoch-accumulable mean over microbatches,
+               correct, count, grad_norm}.
+
+    eval_step(params, batch_stats, wavs (B, L), labels (B,), mask (B,),
+              class_weights) -> (logits (B, C), loss_num, loss_den, correct)
+    """
+
+    n_dev = mesh.devices.size
+
+    def loss_fn(params, batch_stats, wavs, labels, mask, class_weights, key, train):
+        feats = features_from_wavs(frontend, wavs, augment=augment and train, key=key)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            logits, mutated = model.apply(
+                variables, feats, train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = model.apply(variables, feats, train=False)
+            new_stats = batch_stats
+        num, den = weighted_cross_entropy(logits, labels, class_weights, mask)
+        # Global weighted mean: psum'ing inside the differentiated function
+        # makes jax.grad produce globally-correct (already reduced) grads.
+        loss = jax.lax.psum(num, axis_name) / jax.lax.psum(den, axis_name)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        return loss, (new_stats, logits, correct)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_shard(params, batch_stats, opt_state, wavs, labels, class_weights, lr, key):
+        # wavs: (A, b_local, L); labels: (A, b_local)
+        local_b = wavs.shape[1]
+        mask = jnp.ones((local_b,), jnp.float32)
+        # Distinct dropout/augment streams per device and per microbatch.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        mb_keys = jax.random.split(key, wavs.shape[0])
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def micro(carry, xs):
+            stats, grad_acc = carry
+            w, l, k = xs
+            (loss, (stats, _, correct)), grads = grad_fn(
+                params, stats, w, l, mask, class_weights, k, True
+            )
+            grad_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g / accum_steps, grad_acc, grads
+            )
+            return (stats, grad_acc), (loss, correct)
+
+        (batch_stats, grads), (losses, corrects) = jax.lax.scan(
+            micro, (batch_stats, zero_grads), (wavs, labels, mb_keys)
+        )
+        grads, grad_norm = clip_by_global_norm(grads, max_grad_norm)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: (-lr * u).astype(u.dtype), updates)
+        params = optax.apply_updates(params, updates)
+        correct = jax.lax.psum(jnp.sum(corrects), axis_name)
+        count = jnp.asarray(wavs.shape[0] * local_b * n_dev, jnp.float32)
+        metrics = {
+            "loss": jnp.mean(losses),  # already global via psum in loss_fn
+            "correct": correct,
+            "count": count,
+            "grad_norm": grad_norm,
+        }
+        return params, batch_stats, opt_state, metrics
+
+    def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
+        loss_unused, (stats_unused, logits, correct) = loss_fn(
+            params, batch_stats, wavs, labels, mask, class_weights,
+            jax.random.PRNGKey(0), False,
+        )
+        num, den = weighted_cross_entropy(logits, labels, class_weights, mask)
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+        correct = jax.lax.psum(correct, axis_name)
+        return logits, num, den, correct
+
+    rep = P()
+    batched = P(axis_name)
+    mb = P(None, axis_name)  # (accum, batch, ...) sharded on batch
+
+    train_step = jax.jit(
+        jax.shard_map(
+            train_shard,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, mb, mb, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+    eval_step = jax.jit(
+        jax.shard_map(
+            eval_shard,
+            mesh=mesh,
+            in_specs=(rep, rep, batched, batched, batched, rep),
+            out_specs=(batched, rep, rep, rep),
+            check_vma=False,
+        )
+    )
+    return TrainStepFns(train_step=train_step, eval_step=eval_step)

@@ -1,0 +1,309 @@
+"""Trainer with class weighting, grad accumulation, clipping, schedules,
+early stopping, TensorBoard logging, and self-describing checkpoints.
+
+Capability match for the reference's default trainer
+(src/training/trainer_fixed.py:12-324), re-architected TPU-first:
+
+- the per-batch hot loop is ONE jitted SPMD program (parallel/data_parallel)
+  instead of CPU DataLoader preprocessing + per-batch host<->device hops;
+- inverse-frequency class weights feed a weighted CE
+  (reference :116-134, :53);
+- gradient accumulation = lax.scan over stacked microbatches (reference
+  :167-180; the trainer stacks `gradient_accumulation_steps` loader batches
+  per optimizer step — a tail group smaller than accum_steps is skipped,
+  where the reference would let its gradients leak into the next epoch);
+- grad clip global-norm 1.0 (reference :170-177);
+- bf16 compute policy via the model dtype stands in for AMP+GradScaler
+  (reference :95, :150-174) — bf16 on TPU needs no loss scaling;
+- best checkpoint on min val loss + periodic every save_every + early
+  stopping (reference :288-307), same TensorBoard tag names (:267-272),
+  same checkpoint contract (:314-324) plus a resume path the reference
+  lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_classification_icbhi_tpu.data.loader import BatchLoader
+from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+from audio_classification_icbhi_tpu.parallel.data_parallel import make_step_fns
+from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+from audio_classification_icbhi_tpu.training.schedules import build_scheduler
+from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from audio_classification_icbhi_tpu.utils.tensorboard import SummaryWriter
+
+
+class Trainer:
+    """Best-model selection on minimum validation loss
+    (reference trainer_fixed.py:288-294)."""
+
+    plateau_mode = "min"
+
+    def __init__(self, model, train_dataset, val_dataset, config: dict[str, Any], mesh=None):
+        self.model = model
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.config = config
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+        tcfg = config["training"]
+        self.epochs = tcfg["epochs"]
+        self.batch_size = tcfg["batch_size"]
+        self.learning_rate = tcfg["learning_rate"]
+        self.accum_steps = max(1, tcfg.get("gradient_accumulation_steps", 1))
+        self.early_stopping_patience = tcfg.get("early_stopping_patience", 15)
+        self.save_every = tcfg.get("save_every", 5)
+
+        n_dev = self.mesh.devices.size
+        if self.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {self.batch_size} must be divisible by the "
+                f"{n_dev}-device data mesh"
+            )
+
+        dcfg = config["data"]
+        self.frontend = MelFrontend(
+            sample_rate=dcfg["sample_rate"],
+            n_mels=dcfg["n_mels"],
+            n_fft=dcfg["n_fft"],
+            hop_length=dcfg["hop_length"],
+            duration=dcfg["duration"],
+        )
+
+        self.class_weights = self._calculate_class_weights()
+
+        self.train_loader = BatchLoader(
+            train_dataset, self.batch_size, shuffle=True, drop_last=True,
+            seed=config.get("seed", 42),
+        )
+        self.val_loader = BatchLoader(val_dataset, self.batch_size, shuffle=False)
+
+        self.tx = build_optimizer(tcfg.get("optimizer", "adam"), tcfg.get("weight_decay", 0.0))
+        self.scheduler = build_scheduler(
+            tcfg.get("scheduler"), self.learning_rate, self.epochs,
+            plateau_mode=self.plateau_mode,
+        )
+        self.steps = make_step_fns(
+            model, self.frontend, self.tx, self.mesh,
+            accum_steps=self.accum_steps,
+            augment=bool(dcfg.get("augmentation", False)) and getattr(train_dataset, "augment", True),
+        )
+
+        # Parameter/optimizer initialization.
+        self.root_key = jax.random.PRNGKey(config.get("seed", 42))
+        init_key, self.train_key = jax.random.split(self.root_key)
+        dummy = jnp.zeros((2, dcfg["n_mels"], self.frontend.num_frames, 1), jnp.float32)
+        variables = model.init(init_key, dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+
+        self.checkpoint_dir = Path(tcfg.get("checkpoint_dir", "checkpoints"))
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=tcfg.get("log_dir", "runs"))
+
+        self.history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
+        self.best_val_loss = float("inf")
+        self.patience_counter = 0
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------------ setup
+
+    def _calculate_class_weights(self) -> np.ndarray:
+        """Inverse-frequency weights (reference trainer_fixed.py:116-134)."""
+        labels = self.train_dataset.labels
+        num_classes = self.config["model"]["num_classes"]
+        counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+        weights = len(labels) / (num_classes * np.maximum(counts, 1))
+        print("\nClass distribution:")
+        for i, (count, weight) in enumerate(zip(counts, weights)):
+            name = self.config["classes"][i] if i < len(self.config["classes"]) else str(i)
+            print(f"  {name}: {int(count)} samples (weight: {weight:.3f})")
+        return weights.astype(np.float32)
+
+    # ------------------------------------------------------------------ epochs
+
+    def _grouped_batches(self, loader):
+        """Yield (wavs (A, B, L), labels (A, B)) stacked accumulation groups."""
+        buf_w, buf_l = [], []
+        for wavs, labels in loader:
+            buf_w.append(wavs)
+            buf_l.append(labels)
+            if len(buf_w) == self.accum_steps:
+                yield np.stack(buf_w), np.stack(buf_l)
+                buf_w, buf_l = [], []
+        # tail group smaller than accum_steps is skipped (see module docstring)
+
+    def train_epoch(self, epoch: int) -> tuple[float, float]:
+        self.train_loader.set_epoch(epoch)
+        losses, correct, total = [], 0.0, 0.0
+        lr = np.float32(self.scheduler.lr)
+        for step_idx, (wavs, labels) in enumerate(self._grouped_batches(self.train_loader)):
+            key = jax.random.fold_in(jax.random.fold_in(self.train_key, epoch), step_idx)
+            self.params, self.batch_stats, self.opt_state, metrics = self.steps.train_step(
+                self.params, self.batch_stats, self.opt_state,
+                wavs, labels, self.class_weights, lr, key,
+            )
+            losses.append(metrics["loss"])
+            correct += float(metrics["correct"])
+            total += float(metrics["count"])
+        epoch_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
+        epoch_acc = 100.0 * correct / max(total, 1.0)
+        return epoch_loss, epoch_acc
+
+    def _eval_batches(self, loader):
+        """Pad partial batches to batch_size with a validity mask so one
+        compiled eval graph serves the whole loader."""
+        for wavs, labels in loader:
+            b = wavs.shape[0]
+            mask = np.ones((self.batch_size,), np.float32)
+            if b < self.batch_size:
+                pad = self.batch_size - b
+                wavs = np.concatenate([wavs, np.zeros((pad,) + wavs.shape[1:], wavs.dtype)])
+                labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+                mask[b:] = 0.0
+            yield wavs, labels, mask, b
+
+    def validate(self, epoch: int) -> tuple[float, float]:
+        num_sum, den_sum, correct, total, n_batches = 0.0, 0.0, 0.0, 0.0, 0
+        loss_accum = 0.0
+        for wavs, labels, mask, b in self._eval_batches(self.val_loader):
+            logits, num, den, corr = self.steps.eval_step(
+                self.params, self.batch_stats, wavs, labels, mask, self.class_weights
+            )
+            # reference averages per-batch criterion values (trainer_fixed.py:224,237)
+            loss_accum += float(num) / max(float(den), 1e-12)
+            correct += float(corr)
+            total += b
+            n_batches += 1
+        val_loss = loss_accum / max(n_batches, 1)
+        val_acc = 100.0 * correct / max(total, 1.0)
+        return val_loss, val_acc
+
+    # ------------------------------------------------------------------ loop
+
+    def _epoch_metrics(self, epoch: int) -> dict[str, float]:
+        """Hook: extra per-epoch validation metrics (ICBHI trainer overrides)."""
+        return {}
+
+    def _selection_metric(self, val_loss: float, extra: dict) -> float:
+        return val_loss
+
+    def _is_improvement(self, metric: float) -> bool:
+        return metric < self.best_val_loss
+
+    def train(self, resume_from: str | None = None) -> dict:
+        if resume_from:
+            self.restore(resume_from)
+        print(f"\nStarting training for {self.epochs} epochs...")
+        print(f"Training samples: {len(self.train_dataset)}")
+        print(f"Validation samples: {len(self.val_dataset)}")
+        print(f"Devices: {self.mesh.devices.size}x {jax.devices()[0].platform}")
+        print(f"Batch size: {self.batch_size} (grad accum {self.accum_steps})")
+        print(f"Learning rate: {self.learning_rate}")
+
+        for epoch in range(self.start_epoch, self.epochs):
+            t0 = time.time()
+            train_loss, train_acc = self.train_epoch(epoch)
+            val_loss, val_acc = self.validate(epoch)
+            extra = self._epoch_metrics(epoch)
+
+            metric = self._selection_metric(val_loss, extra)
+            self.scheduler.step(metric)
+
+            self.writer.add_scalar("Loss/train", train_loss, epoch)
+            self.writer.add_scalar("Loss/val", val_loss, epoch)
+            self.writer.add_scalar("Accuracy/train", train_acc, epoch)
+            self.writer.add_scalar("Accuracy/val", val_acc, epoch)
+            self.writer.add_scalar("Learning_Rate", self.scheduler.lr, epoch)
+            for tag, value in extra.items():
+                self.writer.add_scalar(tag, value, epoch)
+            self.writer.flush()
+
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            self.history["train_acc"].append(train_acc)
+            self.history["val_acc"].append(val_acc)
+            self._extend_history(extra)
+
+            print(
+                f"\nEpoch {epoch + 1}/{self.epochs} - "
+                f"Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.2f}% - "
+                f"Val Loss: {val_loss:.4f}, Val Acc: {val_acc:.2f}% - "
+                f"LR: {self.scheduler.lr:.6f} ({time.time() - t0:.1f}s)"
+            )
+
+            if self._is_improvement(metric):
+                self._record_best(metric)
+                self.patience_counter = 0
+                self.save_checkpoint(
+                    self.checkpoint_dir / "best_model.ckpt", epoch, val_loss, extra
+                )
+                print(f"✓ Best model saved ({self._best_description()})")
+            else:
+                self.patience_counter += 1
+                print(
+                    f"  No improvement ({self.patience_counter}/{self.early_stopping_patience})"
+                )
+
+            if (epoch + 1) % self.save_every == 0:
+                self.save_checkpoint(
+                    self.checkpoint_dir / f"checkpoint_epoch_{epoch + 1}.ckpt",
+                    epoch, val_loss, extra,
+                )
+
+            if self.patience_counter >= self.early_stopping_patience:
+                print(f"\nEarly stopping triggered after {epoch + 1} epochs")
+                break
+
+        print("\n✓ Training completed!")
+        self.writer.close()
+        return self.history
+
+    def _extend_history(self, extra: dict) -> None:
+        pass
+
+    def _record_best(self, metric: float) -> None:
+        self.best_val_loss = metric
+
+    def _best_description(self) -> str:
+        return f"validation loss: {self.best_val_loss:.4f}"
+
+    # ------------------------------------------------------------------ ckpt
+
+    def _checkpoint_payload(self, epoch: int, val_loss: float, extra: dict) -> dict:
+        return {
+            "epoch": epoch,
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "val_loss": float(val_loss),
+            "config": self.config,
+            "class_weights": np.asarray(self.class_weights),
+        }
+
+    def save_checkpoint(self, path, epoch: int, val_loss: float, extra: dict | None = None):
+        save_checkpoint(path, self._checkpoint_payload(epoch, val_loss, extra or {}))
+
+    def restore(self, path) -> None:
+        """Resume from a checkpoint (capability the reference lacks)."""
+        ckpt = load_checkpoint(path)
+        # restore into existing pytree structure (msgpack returns plain dicts)
+        from flax import serialization
+
+        self.params = serialization.from_state_dict(self.params, ckpt["params"])
+        self.batch_stats = serialization.from_state_dict(self.batch_stats, ckpt["batch_stats"])
+        self.opt_state = serialization.from_state_dict(self.opt_state, ckpt["opt_state"])
+        self.start_epoch = int(ckpt["epoch"]) + 1
+        self.best_val_loss = float(ckpt.get("val_loss", float("inf")))
+        for _ in range(self.start_epoch):
+            self.scheduler.step(self.best_val_loss)
+        print(f"Resumed from {path} at epoch {self.start_epoch}")

@@ -1,0 +1,78 @@
+"""Self-describing checkpoints.
+
+Preserves the reference's checkpoint *contract* (SURVEY.md §5): a single
+file carrying {epoch, params, batch_stats, opt_state, val_loss, config,
+class_weights} (+ icbhi_score/icbhi_metrics for the ICBHI trainer,
+reference trainer_icbhi.py:310-322), so downstream consumers (cli.py,
+validate.py analogs) can rebuild the model from the embedded config with no
+external files (reference cli.py:16-41, validate.py:46-54).
+
+Serialization is flax msgpack (single file, numpy-native) instead of torch
+pickle. `save_checkpoint`/`load_checkpoint` mirror reference
+src/utils/config.py:60-99.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    """Device arrays -> numpy so checkpoints don't hold device buffers.
+    Non-array leaves (str/int/float/bool) pass through untouched — running
+    np.asarray on a str would turn it into a '<U...' ndarray that flax's
+    msgpack ext cannot restore."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, tree
+    )
+
+
+def save_checkpoint(path: str | Path, checkpoint: dict[str, Any]) -> Path:
+    """Write a checkpoint dict to a single msgpack file.
+
+    The config dict is JSON-encoded into a str leaf so arbitrary nested YAML
+    config survives msgpack's typing (bytes leaves collide with flax's
+    ndarray ext encoding; str round-trips cleanly).
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckpt = dict(checkpoint)
+    if "config" in ckpt and isinstance(ckpt["config"], dict):
+        ckpt["config"] = "json:" + json.dumps(ckpt["config"])
+    # to_state_dict flattens tuples/NamedTuples (e.g. optax states) into
+    # dicts msgpack can carry; load_checkpoint consumers restore structure
+    # with from_state_dict against a template pytree.
+    payload = serialization.msgpack_serialize(serialization.to_state_dict(_to_host(ckpt)))
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(payload)
+    tmp.replace(path)  # atomic on POSIX: no torn checkpoints on crash
+    return path
+
+
+def load_checkpoint(path: str | Path) -> dict[str, Any]:
+    """Read a checkpoint saved by save_checkpoint."""
+    data = serialization.msgpack_restore(Path(path).read_bytes())
+    cfg = data.get("config")
+    if isinstance(cfg, str) and cfg.startswith("json:"):
+        data["config"] = json.loads(cfg[5:])
+    return data
+
+
+def latest_checkpoint(checkpoint_dir: str | Path) -> Path | None:
+    """Most recent periodic checkpoint (checkpoint_epoch_{N}) for resume —
+    an improvement over the reference, which saves periodically but has no
+    resume path (SURVEY.md §5)."""
+    d = Path(checkpoint_dir)
+    if not d.exists():
+        return None
+    candidates = sorted(
+        d.glob("checkpoint_epoch_*.ckpt"),
+        key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
+    )
+    return candidates[-1] if candidates else None

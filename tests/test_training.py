@@ -1,0 +1,315 @@
+"""Training stack tests on the 8-device virtual CPU mesh.
+
+Integration strategy from SURVEY.md §4: one train step decreases loss on
+synthetic data, checkpoint round-trip, torch-parity unit checks for the
+weighted CE / clipping / schedules, and ICBHI scoring on hand-computed
+confusion matrices.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from audio_classification_icbhi_tpu.parallel import (
+    get_mesh,
+    make_step_fns,
+    weighted_cross_entropy,
+)
+from audio_classification_icbhi_tpu.parallel.data_parallel import clip_by_global_norm
+from audio_classification_icbhi_tpu.training.schedules import (
+    CosineAnnealingLR,
+    ReduceLROnPlateau,
+    StepLR,
+)
+from audio_classification_icbhi_tpu.utils.icbhi_metrics import (
+    calculate_icbhi_score,
+    calculate_detailed_confusion_metrics,
+)
+from audio_classification_icbhi_tpu.utils.metrics import calculate_metrics
+from audio_classification_icbhi_tpu.utils.checkpoint import (
+    load_checkpoint,
+    latest_checkpoint,
+    save_checkpoint,
+)
+from audio_classification_icbhi_tpu.utils.tensorboard import SummaryWriter, read_scalars
+
+
+class TestLossParity:
+    def test_weighted_ce_matches_torch(self, rng):
+        logits = rng.standard_normal((16, 4)).astype(np.float32)
+        labels = rng.integers(0, 4, 16)
+        weights = np.array([0.5, 2.0, 1.0, 3.0], np.float32)
+        num, den = weighted_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weights),
+            jnp.ones(16, jnp.float32),
+        )
+        ours = float(num) / float(den)
+        want = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(weights))(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        ).item()
+        assert abs(ours - want) < 1e-5
+
+    def test_clip_matches_torch(self, rng):
+        grads = {"a": rng.standard_normal((8, 8)).astype(np.float32) * 5,
+                 "b": rng.standard_normal((4,)).astype(np.float32)}
+        jt = jax.tree_util.tree_map(jnp.asarray, grads)
+        clipped, gnorm = clip_by_global_norm(jt, 1.0)
+        tp = [torch.from_numpy(grads["a"].copy()), torch.from_numpy(grads["b"].copy())]
+        for t in tp:
+            t.grad = t.clone()
+        params = [torch.nn.Parameter(t) for t in tp]
+        for p, t in zip(params, tp):
+            p.grad = t.clone()
+        tnorm = torch.nn.utils.clip_grad_norm_(params, 1.0)
+        assert abs(float(gnorm) - tnorm.item()) < 1e-4
+        np.testing.assert_allclose(np.asarray(clipped["a"]), params[0].grad.numpy(), atol=1e-5)
+
+
+class TestSchedules:
+    def test_cosine_matches_torch(self):
+        lr0, epochs = 0.003, 10
+        sched = CosineAnnealingLR(lr0, t_max=epochs)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=lr0)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
+        for _ in range(epochs):
+            assert abs(sched.lr - opt.param_groups[0]["lr"]) < 1e-9
+            sched.step()
+            tsched.step()
+
+    def test_step_lr(self):
+        s = StepLR(1.0, step_size=2, gamma=0.1)
+        lrs = []
+        for _ in range(5):
+            lrs.append(s.lr)
+            s.step()
+        np.testing.assert_allclose(lrs, [1.0, 1.0, 0.1, 0.1, 0.01])
+
+    def test_plateau_min_mode(self):
+        s = ReduceLROnPlateau(1.0, mode="min", factor=0.5, patience=2)
+        for m in [1.0, 0.9, 0.95, 0.95, 0.95]:  # 3 bad epochs after best=0.9
+            s.step(m)
+        assert s.lr == 0.5
+
+    def test_plateau_max_mode(self):
+        s = ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=1)
+        for m in [0.5, 0.6, 0.55, 0.55]:
+            s.step(m)
+        assert s.lr == 0.5
+
+
+class TestICBHIScore:
+    def test_hand_computed_confusion(self):
+        # 4 samples per class, diag-heavy: class 0 perfect; class 1 2/4 etc.
+        y_true = np.repeat([0, 1, 2, 3], 4)
+        y_pred = np.array([0, 0, 0, 0,
+                           1, 1, 0, 0,
+                           2, 2, 2, 0,
+                           3, 3, 3, 3])
+        m = calculate_icbhi_score(y_true, y_pred)
+        sens = [1.0, 0.5, 0.75, 1.0]
+        np.testing.assert_allclose(m["sensitivities"], sens)
+        # specificity of class 0: TN = 12 - 5 false positives... compute directly
+        spec0 = np.mean((y_pred[y_true != 0] != 0))
+        assert abs(m["specificities"][0] - spec0) < 1e-9
+        a_s, a_p = np.mean(sens), np.mean(m["specificities"])
+        assert abs(m["icbhi_score"] - 2 * a_s * a_p / (a_s + a_p)) < 1e-9
+        assert abs(m["accuracy"] - 13 / 16) < 1e-9
+
+    def test_perfect_and_degenerate(self):
+        y = np.array([0, 1, 2, 3])
+        perfect = calculate_icbhi_score(y, y)
+        assert perfect["icbhi_score"] == 1.0
+        wrong = calculate_icbhi_score(y, (y + 1) % 4)
+        assert wrong["avg_sensitivity"] == 0.0
+        assert wrong["icbhi_score"] == 0.0  # guard against 0/0
+
+    def test_detailed_confusion(self):
+        y_true = [0, 0, 1, 1]
+        y_pred = [0, 1, 1, 1]
+        d = calculate_detailed_confusion_metrics(y_true, y_pred)
+        assert d["per_class"]["normal"] == {
+            "TP": 1, "FP": 0, "FN": 1, "TN": 2, "precision": 1.0, "recall": 0.5,
+        }
+        assert d["confusion_matrix"].sum() == 4
+
+    def test_generic_metrics_vs_sklearn_shapes(self):
+        y_true = np.array([0, 1, 2, 3, 0, 1])
+        y_pred = np.array([0, 1, 2, 2, 0, 0])
+        y_prob = np.random.default_rng(0).dirichlet(np.ones(4), 6)
+        m = calculate_metrics(y_true, y_pred, y_prob)
+        assert m["accuracy"] == 4 / 6
+        assert len(m["precision_per_class"]) == 4
+        assert "roc_auc_macro" in m
+
+
+class TestCheckpoint:
+    def test_roundtrip_contract(self, tmp_path):
+        ckpt = {
+            "epoch": 3,
+            "params": {"dense": {"kernel": np.ones((4, 2), np.float32)}},
+            "batch_stats": {"bn": {"mean": np.zeros(4, np.float32)}},
+            "opt_state": {"count": np.int32(7)},
+            "val_loss": 0.5,
+            "config": {"model": {"architecture": "cnn"}, "classes": ["a", "b"]},
+            "class_weights": np.array([1.0, 2.0], np.float32),
+        }
+        p = save_checkpoint(tmp_path / "best_model.ckpt", ckpt)
+        back = load_checkpoint(p)
+        assert back["epoch"] == 3
+        assert back["config"]["model"]["architecture"] == "cnn"  # embedded config
+        np.testing.assert_array_equal(back["class_weights"], ckpt["class_weights"])
+        np.testing.assert_array_equal(
+            back["params"]["dense"]["kernel"], ckpt["params"]["dense"]["kernel"]
+        )
+
+    def test_latest_checkpoint(self, tmp_path):
+        assert latest_checkpoint(tmp_path) is None
+        for e in (5, 10, 2):
+            save_checkpoint(tmp_path / f"checkpoint_epoch_{e}.ckpt", {"epoch": e})
+        assert latest_checkpoint(tmp_path).name == "checkpoint_epoch_10.ckpt"
+
+
+class TestTensorBoard:
+    def test_write_and_read_scalars(self, tmp_path):
+        with SummaryWriter(tmp_path) as w:
+            for step in range(3):
+                w.add_scalar("Loss/train", 1.0 / (step + 1), step)
+                w.add_scalar("Accuracy/val", 50.0 + step, step)
+        files = list(tmp_path.glob("events.out.tfevents.*"))
+        assert len(files) == 1
+        scalars = read_scalars(files[0])
+        assert [s for s, _ in scalars["Loss/train"]] == [0, 1, 2]
+        np.testing.assert_allclose(
+            [v for _, v in scalars["Accuracy/val"]], [50.0, 51.0, 52.0]
+        )
+
+    def test_readable_by_tensorboard_library(self, tmp_path):
+        """Cross-check the wire format against the real tensorboard parser."""
+        from tensorboard.backend.event_processing import event_accumulator
+
+        with SummaryWriter(tmp_path) as w:
+            w.add_scalar("Loss/train", 0.25, 7)
+        ea = event_accumulator.EventAccumulator(str(tmp_path))
+        ea.Reload()
+        assert "Loss/train" in ea.Tags()["scalars"]
+        ev = ea.Scalars("Loss/train")[0]
+        assert ev.step == 7 and abs(ev.value - 0.25) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return get_mesh()
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(mesh8):
+    """Tiny model + frontend + steps on the 8-device mesh."""
+    from audio_classification_icbhi_tpu.models import LightweightCNN
+    from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+    from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+
+    frontend = MelFrontend(
+        sample_rate=4000, n_mels=32, n_fft=256, hop_length=64, duration=0.8
+    )
+    model = LightweightCNN(num_classes=4, axis_name="data")
+    tx = build_optimizer("adam", weight_decay=1e-4)
+    steps = make_step_fns(
+        model, frontend, tx, mesh8, accum_steps=2, augment=True
+    )
+    dummy = jnp.zeros((2, 32, frontend.num_frames, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    return model, frontend, tx, steps, variables
+
+
+class TestShardedTrainStep:
+    @staticmethod
+    def _copy(tree):
+        # train_step donates its state args (buffer reuse on TPU); tests keep
+        # the fixture intact by passing fresh copies.
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+    def test_loss_decreases_on_learnable_batch(self, tiny_setup, rng):
+        model, frontend, tx, steps, variables = tiny_setup
+        params = self._copy(variables["params"])
+        batch_stats = self._copy(variables.get("batch_stats", {}))
+        opt_state = tx.init(params)
+        B, L = 16, frontend.target_length
+        # one strongly separable batch: class = dominant tone
+        labels = np.tile(np.arange(4), B // 4).astype(np.int32)
+        t = np.arange(L) / 4000.0
+        wavs = np.stack(
+            [np.sin(2 * np.pi * (200 + 400 * c) * t) for c in labels]
+        ).astype(np.float32)
+        wavs += 0.01 * rng.standard_normal(wavs.shape).astype(np.float32)
+        awavs = np.stack([wavs, wavs])  # accum=2 microbatches
+        albls = np.stack([labels, labels])
+        cw = np.ones(4, np.float32)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(8):
+            params, batch_stats, opt_state, m = steps.train_step(
+                params, batch_stats, opt_state, awavs, albls, cw,
+                np.float32(3e-3), jax.random.fold_in(key, i),
+            )
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.8, losses
+        assert np.isfinite(losses).all()
+        assert float(m["count"]) == 32  # accum * batch
+
+    def test_eval_step_mask_and_agreement(self, tiny_setup, rng):
+        model, frontend, tx, steps, variables = tiny_setup
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        B, L = 16, frontend.target_length
+        wavs = rng.standard_normal((B, L)).astype(np.float32)
+        labels = rng.integers(0, 4, B).astype(np.int32)
+        mask = np.ones(B, np.float32)
+        cw = np.ones(4, np.float32)
+        logits, num, den, correct = steps.eval_step(
+            params, batch_stats, wavs, labels, mask, cw
+        )
+        assert logits.shape == (B, 4)
+        # masking the second half must not change the first half's logits,
+        # and the loss sums must shrink accordingly
+        mask2 = mask.copy()
+        mask2[8:] = 0
+        logits2, num2, den2, corr2 = steps.eval_step(
+            params, batch_stats, wavs, labels, mask2, cw
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits)[:8], np.asarray(logits2)[:8], rtol=2e-4, atol=2e-4
+        )
+        assert float(den2) < float(den)
+        # loss ratio equals the reference criterion over just the valid rows
+        lp = jax.nn.log_softmax(jnp.asarray(np.asarray(logits)[:8]))
+        want = float(-jnp.mean(jnp.take_along_axis(lp, jnp.asarray(labels[:8])[:, None], 1)))
+        assert abs(float(num2) / float(den2) - want) < 5e-3
+
+    def test_batch_stats_synced_across_shards(self, tiny_setup, rng):
+        """Cross-replica BN: stats after a step must be identical no matter
+        how samples are distributed over devices."""
+        model, frontend, tx, steps, variables = tiny_setup
+        B, L = 16, frontend.target_length
+        wavs = rng.standard_normal((1, B, L)).astype(np.float32)
+        labels = rng.integers(0, 4, (1, B)).astype(np.int32)
+        cw = np.ones(4, np.float32)
+
+        def run(perm):
+            p = self._copy(variables["params"])
+            bs = self._copy(variables.get("batch_stats", {}))
+            opt = tx.init(p)
+            steps1 = make_step_fns(
+                model, frontend, tx, get_mesh(), accum_steps=1, augment=False
+            )
+            _, bs, _, _ = steps1.train_step(
+                p, bs, opt, wavs[:, perm], labels[:, perm], cw,
+                np.float32(1e-3), jax.random.PRNGKey(0),
+            )
+            return jax.tree_util.tree_leaves(bs)[0]
+
+        a = run(np.arange(B))
+        b = run(np.roll(np.arange(B), 5))  # different device placement
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Train an ICBHI classifier on whole recordings (TPU-native).
+
+CLI contract matches reference train.py:16-27 (--config/--model/--epochs/
+--batch-size/--learning-rate/--device), with TPU-relevant extensions:
+--data-path, --resume, --num-devices.
+"""
+
+import argparse
+
+from audio_classification_icbhi_tpu.data.dataset import ICBHIDataset
+from audio_classification_icbhi_tpu.models import build_model
+from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+from audio_classification_icbhi_tpu.training.trainer import Trainer
+from audio_classification_icbhi_tpu.utils.config import load_config, set_seed
+from audio_classification_icbhi_tpu.utils.plotting import plot_training_history
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train audio classification model")
+    parser.add_argument("--config", type=str, default="config.yaml", help="Path to configuration file")
+    parser.add_argument("--model", type=str, choices=["cnn", "resnet"], help="Model architecture")
+    parser.add_argument("--epochs", type=int, help="Number of epochs")
+    parser.add_argument("--batch-size", type=int, help="Batch size")
+    parser.add_argument("--learning-rate", type=float, help="Learning rate")
+    parser.add_argument(
+        "--device", type=str, choices=["cuda", "cpu", "tpu"], help="Accepted for reference-CLI compatibility"
+    )
+    parser.add_argument("--data-path", type=str, help="Override data.dataset_path")
+    parser.add_argument("--resume", type=str, help="Checkpoint to resume from")
+    parser.add_argument("--num-devices", type=int, help="Limit the data-parallel mesh size")
+    return parser.parse_args()
+
+
+def build_trainer(args, dataset_cls, trainer_cls, default_config: str):
+    """Shared setup for all train entry points."""
+    config = load_config(args.config if args.config else default_config)
+    if args.model:
+        config["model"]["architecture"] = args.model
+    if args.epochs:
+        config["training"]["epochs"] = args.epochs
+    if args.batch_size:
+        config["training"]["batch_size"] = args.batch_size
+    if args.learning_rate:
+        config["training"]["learning_rate"] = args.learning_rate
+    if args.data_path:
+        config["data"]["dataset_path"] = args.data_path
+
+    set_seed(config.get("seed", 42))
+    mesh = get_mesh(num_devices=args.num_devices)
+
+    print("\n" + "=" * 60)
+    print("TRAINING CONFIGURATION")
+    print("=" * 60)
+    print(f"Model: {config['model']['architecture']}")
+    print(f"Epochs: {config['training']['epochs']}")
+    print(f"Batch size: {config['training']['batch_size']}")
+    print(f"Learning rate: {config['training']['learning_rate']}")
+    print(f"Mesh: {mesh.devices.size} device(s)")
+    print("=" * 60)
+
+    augment = bool(config["data"].get("augmentation", False))
+    train_ds = dataset_cls(config["data"]["dataset_path"], "train", config, augment=augment)
+    val_ds = dataset_cls(config["data"]["dataset_path"], "val", config, augment=False)
+    model = build_model(config)
+    return trainer_cls(model, train_ds, val_ds, config, mesh=mesh)
+
+
+def main():
+    args = parse_args()
+    trainer = build_trainer(args, ICBHIDataset, Trainer, "config.yaml")
+    history = trainer.train(resume_from=args.resume)
+    plot_training_history(history, save_path="training_history.png")
+    print("Training history saved to training_history.png")
+
+
+if __name__ == "__main__":
+    main()
