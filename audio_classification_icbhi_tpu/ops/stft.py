@@ -89,11 +89,22 @@ def dft_matrices(n_fft: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
-def _cached_dft(n_fft: int) -> tuple[jax.Array, jax.Array]:
-    # NOTE: cache numpy (dft_matrices), convert per call. Caching the
-    # jnp arrays would capture a tracer when first hit inside a jit trace
-    # and leak it into every later call (found by live TPU verification).
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_np(n_fft: int, periodic: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """DFT matrices with the Hann window folded in: frames @ (w*C) computes
+    the windowed DFT in one matmul — the window multiply costs nothing."""
     c, s = dft_matrices(n_fft)
+    n = np.arange(n_fft)
+    denom = n_fft if periodic else n_fft - 1
+    w = (0.5 * (1.0 - np.cos(2.0 * np.pi * n / denom))).astype(np.float32)
+    return w[:, None] * c, w[:, None] * s
+
+
+def _cached_dft(n_fft: int, windowed: bool) -> tuple[jax.Array, jax.Array]:
+    # NOTE: cache numpy, convert per call. Caching the jnp arrays would
+    # capture a tracer when first hit inside a jit trace and leak it into
+    # every later call (found by live TPU verification).
+    c, s = _windowed_dft_np(n_fft) if windowed else dft_matrices(n_fft)
     return jnp.asarray(c), jnp.asarray(s)
 
 
@@ -105,6 +116,7 @@ def stft_power(
     *,
     center: bool = True,
     use_matmul_dft: bool = False,
+    precision: jax.lax.Precision | str = jax.lax.Precision.HIGH,
 ) -> jax.Array:
     """Power spectrogram |STFT|^2 with shape (..., n_fft//2+1, T).
 
@@ -112,22 +124,29 @@ def stft_power(
     normalized=False) followed by abs()**2 — the exact chain behind
     torchaudio MelSpectrogram(power=2.0) (reference preprocessing.py:38-44).
 
-    `use_matmul_dft=True` routes the DFT through two MXU matmuls instead of
-    the XLA FFT; numerically equivalent to ~1e-4 relative for audio-scale
-    inputs, and the form the Pallas fused kernel uses.
+    `use_matmul_dft=True` routes the DFT through two MXU matmuls (Hann
+    window pre-folded into the DFT matrices, so the window multiply is
+    free) instead of the XLA FFT.
+
+    Precision on the MXU (measured on v5e, 5 s/16 kHz clips, log-mel error
+    vs float64 golden): DEFAULT (bf16) ~1e-1 — unusable; HIGH (bf16x3)
+    6.3e-4 at ~24k clips/s; HIGHEST (f32) 4.6e-4 at ~15k clips/s. HIGH is
+    the default: inside the 1e-3 parity budget at 1.6x the speed.
     """
-    if window is None:
-        window = hann_window(n_fft, dtype=x.dtype)
-    frames = frame_signal(x, n_fft, hop_length, center=center) * window
+    if use_matmul_dft and window is None:
+        frames = frame_signal(x, n_fft, hop_length, center=center)
+        c, s = _cached_dft(n_fft, windowed=True)
+    else:
+        if window is None:
+            window = hann_window(n_fft, dtype=x.dtype)
+        frames = frame_signal(x, n_fft, hop_length, center=center) * window
+        c = s = None
     if use_matmul_dft:
-        c, s = _cached_dft(n_fft)
-        # HIGHEST: TPU default matmul precision is bf16, which costs ~3
-        # decimal digits — far outside the 1e-3 mel-parity budget. HIGHEST
-        # keeps true f32 on the MXU (measured 9e-5 vs 0.52 max-abs error on
-        # these shapes).
-        re = jnp.dot(frames, c, precision=jax.lax.Precision.HIGHEST,
+        if c is None:
+            c, s = _cached_dft(n_fft, windowed=False)
+        re = jnp.dot(frames, c, precision=precision,
                      preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, s, precision=jax.lax.Precision.HIGHEST,
+        im = jnp.dot(frames, s, precision=precision,
                      preferred_element_type=jnp.float32)
         power = re * re + im * im
     else:
