@@ -240,6 +240,7 @@ class MelFrontend:
         norm: str | None = None,
         use_matmul_dft: bool = True,
         normalize: bool = True,
+        backend: str = "auto",  # "auto" | "pallas" | "xla"
     ):
         self.sample_rate = sample_rate
         self.n_mels = n_mels
@@ -251,6 +252,18 @@ class MelFrontend:
         self.norm = norm
         self.use_matmul_dft = use_matmul_dft
         self.normalize = normalize
+        self.backend = backend
+
+    def _use_pallas(self) -> bool:
+        """Backend choice. Measured on v5e: the fused Pallas kernel wins
+        mel-only (13.4k vs 9.7k clips/s) but the XLA path wins the full
+        mel+normalize+CNN pipeline (22.2k vs 16.1k) because XLA fuses the
+        downstream consumers and the kernel re-streams its DFT constants per
+        grid cell. auto therefore picks XLA until the kernel wins end-to-end
+        (constant-residency rework tracked in ops/pallas_mel.py)."""
+        if self.backend == "pallas":
+            return True
+        return False
 
     @property
     def num_frames(self) -> int:
@@ -259,6 +272,18 @@ class MelFrontend:
     def log_mel(self, waveform: jax.Array) -> jax.Array:
         """Un-normalized log-mel (..., n_mels, T) — the point in the chain
         where SpecAugment applies (reference preprocessing.py:139-146)."""
+        if self._use_pallas():
+            from audio_classification_icbhi_tpu.ops import pallas_mel
+
+            return pallas_mel.log_mel_pallas(
+                waveform,
+                self.sample_rate,
+                self.n_fft,
+                self.hop_length,
+                self.n_mels,
+                mel_scale=self.mel_scale,
+                norm=self.norm,
+            )
         return log_mel_spectrogram(
             waveform,
             self.sample_rate,
@@ -295,7 +320,7 @@ class MelFrontend:
         return (
             self.sample_rate, self.n_mels, self.n_fft, self.hop_length,
             self.target_length, self.mel_scale, self.norm,
-            self.use_matmul_dft, self.normalize,
+            self.use_matmul_dft, self.normalize, self.backend,
         )
 
     def __hash__(self):

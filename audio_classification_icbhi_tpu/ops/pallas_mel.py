@@ -1,0 +1,217 @@
+"""Fused Pallas TPU kernel: frames -> windowed DFT -> power -> mel -> dB.
+
+The XLA path (ops/mel.log_mel_spectrogram) materializes the re/im and power
+spectra in HBM between matmuls — for a (128, 157)-frame batch that is
+~250 MB of intermediate traffic per step. This kernel keeps the whole chain
+in VMEM: for each (batch, frame-tile) grid cell it loops over frequency
+tiles, computing
+
+    re = frames @ (w*C)[., ftile]   (MXU)
+    im = frames @ (w*S)[., ftile]   (MXU)
+    mel += (re*re + im*im) @ fb[ftile, .]   (VPU + MXU, accumulated in VMEM)
+
+and writes only the final (TILE_T, n_mels) log-mel block to HBM. The
+windowed DFT matrices stream through VMEM one frequency tile at a time, so
+VMEM never holds the full 16.8 MB constant.
+
+Numerics match the XLA matmul path (both run the MXU at the requested
+precision); parity with the float64 golden is covered by tests/test_dsp.py.
+
+Falls back transparently: log_mel_pallas(...) == mel_ops.log_mel chain, same
+(B, n_mels, T) output as torchaudio layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_classification_icbhi_tpu.ops import mel as mel_ops
+from audio_classification_icbhi_tpu.ops import stft as stft_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
+    """(windowed cos, windowed sin, mel fb) padded to lane multiples."""
+    wc, ws = stft_ops._windowed_dft_np(n_fft)
+    fb = np.asarray(
+        mel_ops._mel_filterbank_np(sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0,
+                                   mel_scale, norm)
+    )
+    n_bins = n_fft // 2 + 1
+    f_pad = _round_up(n_bins, 128)
+    m_pad = _round_up(n_mels, 128)
+    wc_p = np.zeros((n_fft, f_pad), np.float32)
+    ws_p = np.zeros((n_fft, f_pad), np.float32)
+    fb_p = np.zeros((f_pad, m_pad), np.float32)
+    wc_p[:, :n_bins] = wc
+    ws_p[:, :n_bins] = ws
+    fb_p[:n_bins, :n_mels] = fb  # padded bins have zero filters -> no effect
+    return wc_p, ws_p, fb_p
+
+
+def _split_bf16(x: np.ndarray) -> np.ndarray:
+    """f32 -> stacked (2, ...) bf16 hi/lo components with x ~= hi + lo."""
+    import ml_dtypes
+
+    hi = x.astype(ml_dtypes.bfloat16)
+    lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
+@functools.lru_cache(maxsize=8)
+def _constants_bf16x3(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
+    wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm)
+    return _split_bf16(wc), _split_bf16(ws), fb
+
+
+def _dot_f32(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_bf16(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel_f32(frames_ref, wc_ref, ws_ref, fb_ref, out_ref, acc_ref, *, f_tiles: int):
+    """Grid: (B, T_tiles, f_tiles). Frequency axis is the innermost grid dim;
+    the mel accumulator lives in VMEM scratch across it. True-f32 MXU dots."""
+    fi = pl.program_id(2)
+
+    @pl.when(fi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    frames = frames_ref[0]  # block (1, TILE_T, n_fft) -> (TILE_T, n_fft)
+    re = _dot_f32(frames, wc_ref[:])
+    im = _dot_f32(frames, ws_ref[:])
+    power = re * re + im * im  # (TILE_T, F_TILE)
+    acc_ref[:] += _dot_f32(power, fb_ref[:])
+
+    @pl.when(fi == f_tiles - 1)
+    def _():
+        # amplitude_to_db, torchaudio power semantics (10*log10(max(x, 1e-10)))
+        out_ref[0] = 10.0 * jnp.log10(jnp.maximum(acc_ref[:], 1e-10))
+
+
+def _kernel_bf16x3(frames_ref, wc_ref, ws_ref, fb_ref, out_ref, acc_ref, *, f_tiles: int):
+    """bf16x3 variant: Mosaic has no Precision.HIGH, so the decomposition is
+    explicit — frames split into bf16 hi+lo in-kernel, DFT matrices pre-split
+    on the host (wc_ref/ws_ref carry (2, n_fft, F_TILE)); hi@hi + hi@lo +
+    lo@hi gives ~f32 accuracy at 3 bf16 MXU passes per matmul, matching
+    XLA's HIGH at the same FLOP count but without HBM intermediates."""
+    fi = pl.program_id(2)
+
+    @pl.when(fi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    frames = frames_ref[0]
+    f_hi = frames.astype(jnp.bfloat16)
+    f_lo = (frames - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot3(m_ref):
+        hi, lo = m_ref[0], m_ref[1]
+        return _dot_bf16(f_hi, hi) + _dot_bf16(f_hi, lo) + _dot_bf16(f_lo, hi)
+
+    re = dot3(wc_ref)
+    im = dot3(ws_ref)
+    power = re * re + im * im
+    acc_ref[:] += _dot_f32(power, fb_ref[:])
+
+    @pl.when(fi == f_tiles - 1)
+    def _():
+        out_ref[0] = 10.0 * jnp.log10(jnp.maximum(acc_ref[:], 1e-10))
+
+
+def log_mel_pallas(
+    waveform: jax.Array,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    *,
+    mel_scale: str = "htk",
+    norm: str | None = None,
+    algorithm: str = "bf16x3",  # "bf16x3" (3 bf16 MXU passes) | "f32"
+    tile_t: int = 64,
+    f_tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, L) waveform -> (B, n_mels, T) log-mel, one fused TPU kernel.
+
+    Semantics identical to ops.mel.log_mel_spectrogram(..., to_db="amplitude",
+    use_matmul_dft=True) (torchaudio MelSpectrogram + AmplitudeToDB chain,
+    reference preprocessing.py:38-47).
+    """
+    if waveform.ndim == 1:
+        return log_mel_pallas(
+            waveform[None], sample_rate, n_fft, hop_length, n_mels,
+            mel_scale=mel_scale, norm=norm, algorithm=algorithm,
+            tile_t=tile_t, f_tile=f_tile, interpret=interpret,
+        )[0]
+    b, length = waveform.shape
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)
+    t_pad = _round_up(t, tile_t)
+    if t_pad != t:
+        frames = jnp.pad(frames, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    if algorithm == "bf16x3":
+        wc, ws, fb = _constants_bf16x3(sample_rate, n_fft, n_mels, mel_scale, norm)
+        kernel = _kernel_bf16x3
+        f_pad = wc.shape[2]
+        dft_spec = lambda ft: pl.BlockSpec(  # noqa: E731
+            (2, n_fft, ft), lambda bi, ti, fi: (0, 0, fi), memory_space=pltpu.VMEM
+        )
+    elif algorithm == "f32":
+        wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm)
+        kernel = _kernel_f32
+        f_pad = wc.shape[1]
+        dft_spec = lambda ft: pl.BlockSpec(  # noqa: E731
+            (n_fft, ft), lambda bi, ti, fi: (0, fi), memory_space=pltpu.VMEM
+        )
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    m_pad = fb.shape[1]
+    # largest lane-aligned divisor of f_pad not exceeding the requested tile
+    f_tile = min(f_tile, f_pad)
+    while f_pad % f_tile or f_tile % 128:
+        f_tile -= 128
+    f_tiles = f_pad // f_tile
+
+    grid = (b, t_pad // tile_t, f_tiles)
+    out = pl.pallas_call(
+        functools.partial(kernel, f_tiles=f_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_t, n_fft), lambda bi, ti, fi: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            dft_spec(f_tile),
+            dft_spec(f_tile),
+            pl.BlockSpec((f_tile, m_pad), lambda bi, ti, fi: (fi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, m_pad), lambda bi, ti, fi: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_t, m_pad), jnp.float32)],
+        interpret=interpret,
+    )(frames, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(fb))
+    # crop padding, transpose to torchaudio layout (B, n_mels, T)
+    return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)

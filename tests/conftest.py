@@ -2,29 +2,45 @@
 
 Mirrors SURVEY.md §4's plan — multi-device paths are exercised in CI via
 XLA's host-platform device emulation, no TPU needed.
+
+GOTCHA (this image): a site pytest plugin imports jax before conftest runs,
+so JAX_PLATFORM_NAME/XLA_FLAGS env vars set here are too late for reliable
+effect. jax.config.update works any time before backend initialization, so
+the CPU pin and the virtual device count go through jax.config instead.
 """
 
 import os
 import sys
 
+# Env vars kept for subprocesses the tests may spawn.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-# NOTE: this image's site config pins jax_platforms to "axon,cpu", which makes
-# JAX_PLATFORMS=cpu a no-op; JAX_PLATFORM_NAME still wins the backend pick.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: this box has one CPU core and XLA compiles
 # are the dominant test cost; cache makes re-runs near-instant.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+    )
+    assert len(jax.devices()) == 8
 
 
 @pytest.fixture
