@@ -108,12 +108,18 @@ class BatchLoader:
                     batch = pending.pop(next_bi)
                 else:
                     bi, batch, exc = done_q.get()
+                    # Release the in-flight slot as soon as the item leaves
+                    # the queue — parking an out-of-order batch in `pending`
+                    # without releasing would let all slots fill with bi >
+                    # next_bi and deadlock both sides (workers on acquire,
+                    # consumer on get). The reorder window is bounded by
+                    # num_threads since workers take work in order.
+                    inflight.release()
                     if exc is not None:
                         raise exc
                     if bi != next_bi:
                         pending[bi] = batch
                         continue
-                inflight.release()
                 yield batch
                 next_bi += 1
         finally:

@@ -8,6 +8,9 @@ from audio_classification_icbhi_tpu.training.schedules import (  # noqa: F401
 )
 from audio_classification_icbhi_tpu.training.optimizers import build_optimizer  # noqa: F401
 from audio_classification_icbhi_tpu.training.trainer import Trainer  # noqa: F401
+from audio_classification_icbhi_tpu.training.trainer_legacy import (  # noqa: F401
+    LegacyTrainer,
+)
 from audio_classification_icbhi_tpu.training.trainer_icbhi import (  # noqa: F401
     TrainerWithICBHI,
 )

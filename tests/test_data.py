@@ -178,6 +178,16 @@ class TestBatchLoader:
         c = np.concatenate([lbl for _, lbl in l1])
         assert not np.array_equal(a, c)
 
+    def test_no_deadlock_under_reordering(self, segmented_root):
+        """Regression: out-of-order completions must not exhaust the
+        prefetch slots (deadlock found live: workers parked on acquire,
+        consumer parked on get). prefetch=1 + 4 threads maximizes skew."""
+        ds = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        for _ in range(3):
+            loader = BatchLoader(ds, batch_size=2, num_threads=4, prefetch=1)
+            total = sum(len(lbl) for _, lbl in loader)
+            assert total == len(ds)
+
     def test_last_partial_batch_kept_without_drop(self, segmented_root):
         ds = ICBHISegmentedDataset(segmented_root, "val", CFG)
         loader = BatchLoader(ds, batch_size=4, drop_last=False)

@@ -1,0 +1,134 @@
+"""End-to-end Trainer tests on synthetic data (8-device CPU mesh).
+
+Covers the full L0->L5 loop in-process: dataset -> loader -> sharded train
+steps -> validation -> scheduler -> checkpoints -> TB events -> resume, for
+both the default and ICBHI trainers (SURVEY.md §4 integration plan).
+"""
+
+import numpy as np
+import pytest
+
+from audio_classification_icbhi_tpu.data import generate_segmented_dataset
+from audio_classification_icbhi_tpu.data.dataset_segmented import ICBHISegmentedDataset
+from audio_classification_icbhi_tpu.models import build_model
+from audio_classification_icbhi_tpu.training import LegacyTrainer, Trainer, TrainerWithICBHI
+from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint
+from audio_classification_icbhi_tpu.utils.tensorboard import read_scalars
+
+
+def tiny_config(tmp_path, epochs=2):
+    return {
+        "data": {
+            "dataset_path": "unused",
+            "sample_rate": 4000,
+            "n_mels": 32,
+            "n_fft": 256,
+            "hop_length": 64,
+            "duration": 0.8,
+            "augmentation": True,
+            "train_split": 0.7,
+            "val_split": 0.15,
+        },
+        "model": {"architecture": "cnn", "num_classes": 4, "dropout": 0.1},
+        "training": {
+            "batch_size": 8,
+            "epochs": epochs,
+            "learning_rate": 3e-3,
+            "weight_decay": 1e-4,
+            "optimizer": "adam",
+            "scheduler": "cosine",
+            "mixed_precision": False,
+            "gradient_accumulation_steps": 2,
+            "early_stopping_patience": 50,
+            "checkpoint_dir": str(tmp_path / "ckpts"),
+            "log_dir": str(tmp_path / "runs"),
+            "save_every": 2,
+        },
+        "device": {"use_cuda": False, "num_workers": 2, "pin_memory": False},
+        "classes": ["normal", "crackles", "wheezes", "both"],
+        "seed": 0,
+    }
+
+
+@pytest.fixture(scope="module")
+def seg_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seg4k")
+    generate_segmented_dataset(root, per_class=16, duration=0.8, sample_rate=4000)
+    return root
+
+
+def make_datasets(root, config):
+    train = ICBHISegmentedDataset(root, "train", config, augment=True)
+    val = ICBHISegmentedDataset(root, "val", config, augment=False)
+    return train, val
+
+
+class TestTrainerEndToEnd:
+    def test_train_checkpoints_events_history(self, seg_data, tmp_path):
+        config = tiny_config(tmp_path)
+        train, val = make_datasets(seg_data, config)
+        model = build_model(config)
+        trainer = Trainer(model, train, val, config)
+        history = trainer.train()
+
+        assert len(history["train_loss"]) == 2
+        assert all(np.isfinite(history["train_loss"]))
+        ckpt_dir = tmp_path / "ckpts"
+        assert (ckpt_dir / "best_model.ckpt").exists()
+        assert (ckpt_dir / "checkpoint_epoch_2.ckpt").exists()
+
+        # checkpoint contract: embedded config + class weights
+        ckpt = load_checkpoint(ckpt_dir / "best_model.ckpt")
+        assert ckpt["config"]["model"]["architecture"] == "cnn"
+        assert len(ckpt["class_weights"]) == 4
+        assert "opt_state" in ckpt and "batch_stats" in ckpt
+
+        # TB events with reference tag names
+        events = list((tmp_path / "runs").glob("events.out.tfevents.*"))
+        assert events
+        scalars = read_scalars(events[0])
+        for tag in ("Loss/train", "Loss/val", "Accuracy/train", "Accuracy/val", "Learning_Rate"):
+            assert tag in scalars, tag
+        # cosine schedule: epoch-1 LR < epoch-0 LR
+        lrs = [v for _, v in scalars["Learning_Rate"]]
+        assert lrs[1] < lrs[0]
+
+    def test_resume_from_checkpoint(self, seg_data, tmp_path):
+        config = tiny_config(tmp_path, epochs=2)
+        train, val = make_datasets(seg_data, config)
+        trainer = Trainer(build_model(config), train, val, config)
+        trainer.train()
+
+        config4 = tiny_config(tmp_path, epochs=4)
+        trainer2 = Trainer(build_model(config4), train, val, config4)
+        history = trainer2.train(resume_from=str(tmp_path / "ckpts" / "checkpoint_epoch_2.ckpt"))
+        assert trainer2.start_epoch == 2
+        assert len(history["train_loss"]) == 2  # epochs 3 and 4 only
+
+    def test_icbhi_trainer_selects_on_score(self, seg_data, tmp_path):
+        config = tiny_config(tmp_path)
+        train, val = make_datasets(seg_data, config)
+        trainer = TrainerWithICBHI(build_model(config), train, val, config)
+        history = trainer.train()
+        assert len(history["icbhi_score"]) == 2
+        assert all(0.0 <= s <= 1.0 for s in history["icbhi_score"])
+        ckpt = load_checkpoint(tmp_path / "ckpts" / "best_model.ckpt")
+        assert "icbhi_score" in ckpt
+        events = list((tmp_path / "runs").glob("events.out.tfevents.*"))
+        scalars = read_scalars(events[0])
+        assert "ICBHI/score" in scalars
+
+    def test_legacy_trainer_uniform_weights(self, seg_data, tmp_path):
+        config = tiny_config(tmp_path, epochs=1)
+        train, val = make_datasets(seg_data, config)
+        trainer = LegacyTrainer(build_model(config), train, val, config)
+        np.testing.assert_array_equal(trainer.class_weights, np.ones(4, np.float32))
+        history = trainer.train()
+        assert np.isfinite(history["train_loss"][0])
+
+    def test_batch_size_mesh_divisibility_error(self, seg_data, tmp_path):
+        config = tiny_config(tmp_path)
+        config["training"]["batch_size"] = 6  # not divisible by 8 devices
+        train, val = make_datasets(seg_data, config)
+        with pytest.raises(ValueError, match="divisible"):
+            Trainer(build_model(config), train, val, config)
