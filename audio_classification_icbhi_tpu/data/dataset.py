@@ -24,6 +24,27 @@ from audio_classification_icbhi_tpu.data import wavio
 from audio_classification_icbhi_tpu.data.annotations import recording_label
 
 
+def _native_load_batch(dataset, idxs) -> tuple[np.ndarray, np.ndarray]:
+    """Shared native fast path for the fixed-shape datasets."""
+    from audio_classification_icbhi_tpu import native
+
+    idxs = [int(i) for i in idxs]
+    labels = np.asarray([dataset.data[i][1] for i in idxs], dtype=np.int32)
+    paths = [dataset.data[i][0] for i in idxs]
+    if native.available():
+        decoded = native.decode_batch(paths, dataset.target_length, n_threads=4)
+        if decoded is not None:
+            batch, srs, _ = decoded
+            for row, i in enumerate(idxs):
+                if srs[row] != dataset.sample_rate:  # wrong rate or decode error
+                    batch[row] = dataset[i][0]
+            return batch, labels
+    return (
+        np.stack([dataset[i][0] for i in idxs]).astype(np.float32),
+        labels,
+    )
+
+
 class ICBHIDataset:
     """Index of (wav_path, label) with host-side fixed-shape waveform loading."""
 
@@ -88,3 +109,10 @@ class ICBHIDataset:
         path, label = self.data[idx]
         wav, _ = wavio.load_audio(path, target_sr=self.sample_rate)
         return self._pad_or_crop(wav).astype(np.float32), label
+
+    def load_batch(self, idxs) -> tuple[np.ndarray, np.ndarray]:
+        """Batched load via the native threaded decoder (one C++ call decodes,
+        mono-mixes, pads/center-crops every file straight into the batch
+        buffer); files whose sample rate differs fall back to the resampling
+        path per row."""
+        return _native_load_batch(self, idxs)

@@ -116,3 +116,9 @@ class ICBHISegmentedDataset:
         path, label = self.data[idx]
         wav, _ = wavio.load_audio(path, target_sr=self.sample_rate)
         return self._pad_or_crop(wav).astype(np.float32), label
+
+    def load_batch(self, idxs) -> tuple[np.ndarray, np.ndarray]:
+        """Batched load via the native threaded decoder (see dataset.py)."""
+        from audio_classification_icbhi_tpu.data.dataset import _native_load_batch
+
+        return _native_load_batch(self, idxs)

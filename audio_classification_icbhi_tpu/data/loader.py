@@ -64,6 +64,9 @@ class BatchLoader:
         return batches
 
     def _load_batch(self, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if hasattr(self.dataset, "load_batch"):
+            # Native fast path: one threaded C++ call assembles the batch.
+            return self.dataset.load_batch(idxs)
         wavs, labels = [], []
         for i in idxs:
             w, lbl = self.dataset[int(i)]

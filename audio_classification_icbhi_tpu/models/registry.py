@@ -32,11 +32,15 @@ def build_model(config: dict[str, Any], *, axis_name: str | None = None, dtype=N
     if arch not in _REGISTRY:
         raise ValueError(f"Unknown model architecture: {arch!r} (have {available_models()})")
     if dtype is None:
-        dtype = (
-            jnp.bfloat16
-            if config.get("training", {}).get("mixed_precision", False)
-            else jnp.float32
-        )
+        tcfg = config.get("training", {})
+        precision = tcfg.get("precision")
+        if precision is None:
+            precision = "bf16" if tcfg.get("mixed_precision", False) else "fp32"
+        dtype = {
+            "bf16": jnp.bfloat16,
+            "fp16": jnp.float16,  # pairs with the trainer's GradScaler mode
+            "fp32": jnp.float32,
+        }[precision]
     return _REGISTRY[arch](
         num_classes=config["model"]["num_classes"],
         dropout=config["model"]["dropout"],

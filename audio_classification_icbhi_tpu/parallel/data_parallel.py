@@ -103,21 +103,30 @@ def make_step_fns(
     augment: bool = False,
     max_grad_norm: float = 1.0,
     axis_name: str = DATA_AXIS,
+    dynamic_loss_scale: bool = False,
 ) -> TrainStepFns:
     """Build jitted, mesh-sharded train/eval steps.
 
     train_step(params, batch_stats, opt_state, wavs (A, B, L), labels (A, B),
-               class_weights (C,), lr scalar, key)
-        -> (params, batch_stats, opt_state, metrics)
+               class_weights (C,), lr scalar, key[, scale_state])
+        -> (params, batch_stats, opt_state, metrics[, scale_state])
     where A = accum_steps microbatches and B = global batch (sharded).
     metrics = {loss: torch-semantics epoch-accumulable mean over microbatches,
                correct, count, grad_norm}.
 
     eval_step(params, batch_stats, wavs (B, L), labels (B,), mask (B,),
               class_weights) -> (logits (B, C), loss_num, loss_den, correct)
+
+    dynamic_loss_scale=True reproduces torch.amp.GradScaler semantics for an
+    fp16 compute dtype (reference trainer_fixed.py:95, :161-174): gradients
+    of (loss * scale) are unscaled before clipping, non-finite steps are
+    SKIPPED, the scale halves on overflow and doubles after 2000 clean
+    steps. scale_state = (scale f32, good_steps i32). bf16 needs none of
+    this — the mode exists for reference parity.
     """
 
     n_dev = mesh.devices.size
+    growth_interval = 2000
 
     def loss_fn(params, batch_stats, wavs, labels, mask, class_weights, key, train):
         feats = features_from_wavs(frontend, wavs, augment=augment and train, key=key)
@@ -140,36 +149,49 @@ def make_step_fns(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_shard(params, batch_stats, opt_state, wavs, labels, class_weights, lr, key):
-        # wavs: (A, b_local, L); labels: (A, b_local)
+    def _accumulate_grads(params, batch_stats, wavs, labels, class_weights, key, scale):
         local_b = wavs.shape[1]
         mask = jnp.ones((local_b,), jnp.float32)
         # Distinct dropout/augment streams per device and per microbatch.
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         mb_keys = jax.random.split(key, wavs.shape[0])
-
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 
         def micro(carry, xs):
             stats, grad_acc = carry
             w, l, k = xs
-            (loss, (stats, _, correct)), grads = grad_fn(
-                params, stats, w, l, mask, class_weights, k, True
-            )
+
+            def scaled_loss(p, s, *a):
+                loss, aux = loss_fn(p, s, *a)
+                return loss * scale, (loss, aux)
+
+            (_, (loss, (stats, _, correct))), grads = jax.value_and_grad(
+                scaled_loss, has_aux=True
+            )(params, stats, w, l, mask, class_weights, k, True)
             grad_acc = jax.tree_util.tree_map(
-                lambda a, g: a + g / accum_steps, grad_acc, grads
+                lambda a_, g: a_ + g / (accum_steps * scale), grad_acc, grads
             )
             return (stats, grad_acc), (loss, correct)
 
         (batch_stats, grads), (losses, corrects) = jax.lax.scan(
             micro, (batch_stats, zero_grads), (wavs, labels, mb_keys)
         )
+        correct = jax.lax.psum(jnp.sum(corrects), axis_name)
+        count = jnp.asarray(wavs.shape[0] * local_b * n_dev, jnp.float32)
+        return params, batch_stats, grads, losses, correct, count
+
+    def _apply(params, opt_state, grads, lr):
         grads, grad_norm = clip_by_global_norm(grads, max_grad_norm)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: (-lr * u).astype(u.dtype), updates)
-        params = optax.apply_updates(params, updates)
-        correct = jax.lax.psum(jnp.sum(corrects), axis_name)
-        count = jnp.asarray(wavs.shape[0] * local_b * n_dev, jnp.float32)
+        return optax.apply_updates(params, updates), opt_state, grad_norm
+
+    def train_shard(params, batch_stats, opt_state, wavs, labels, class_weights, lr, key):
+        # wavs: (A, b_local, L); labels: (A, b_local)
+        params, batch_stats, grads, losses, correct, count = _accumulate_grads(
+            params, batch_stats, wavs, labels, class_weights, key, jnp.float32(1.0)
+        )
+        params, opt_state, grad_norm = _apply(params, opt_state, grads, lr)
         metrics = {
             "loss": jnp.mean(losses),  # already global via psum in loss_fn
             "correct": correct,
@@ -177,6 +199,43 @@ def make_step_fns(
             "grad_norm": grad_norm,
         }
         return params, batch_stats, opt_state, metrics
+
+    def train_shard_scaled(params, batch_stats, opt_state, wavs, labels,
+                           class_weights, lr, key, scale_state):
+        scale, good_steps = scale_state
+        params, batch_stats, grads, losses, correct, count = _accumulate_grads(
+            params, batch_stats, wavs, labels, class_weights, key, scale
+        )
+        finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+
+        def do_apply(operand):
+            p, o = operand
+            return _apply(p, o, grads, lr)
+
+        def skip(operand):
+            p, o = operand
+            return p, o, jnp.float32(jnp.inf)  # GradScaler skips the step
+
+        params, opt_state, grad_norm = jax.lax.cond(finite, do_apply, skip, (params, opt_state))
+        good_steps = jnp.where(finite, good_steps + 1, 0)
+        grew = good_steps >= growth_interval
+        scale = jnp.where(
+            finite,
+            jnp.where(grew, scale * 2.0, scale),
+            jnp.maximum(scale * 0.5, 1.0),
+        )
+        good_steps = jnp.where(grew, 0, good_steps)
+        metrics = {
+            "loss": jnp.mean(losses),
+            "correct": correct,
+            "count": count,
+            "grad_norm": grad_norm,
+            "loss_scale": scale,
+            "step_skipped": 1.0 - finite.astype(jnp.float32),
+        }
+        return params, batch_stats, opt_state, metrics, (scale, good_steps)
 
     def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
         loss_unused, (stats_unused, logits, correct) = loss_fn(
@@ -193,16 +252,28 @@ def make_step_fns(
     batched = P(axis_name)
     mb = P(None, axis_name)  # (accum, batch, ...) sharded on batch
 
-    train_step = jax.jit(
-        jax.shard_map(
-            train_shard,
-            mesh=mesh,
-            in_specs=(rep, rep, rep, mb, mb, rep, rep, rep),
-            out_specs=(rep, rep, rep, rep),
-            check_vma=False,
-        ),
-        donate_argnums=(0, 1, 2),
-    )
+    if dynamic_loss_scale:
+        train_step = jax.jit(
+            jax.shard_map(
+                train_shard_scaled,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, mb, mb, rep, rep, rep, rep),
+                out_specs=(rep, rep, rep, rep, rep),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+    else:
+        train_step = jax.jit(
+            jax.shard_map(
+                train_shard,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, mb, mb, rep, rep, rep),
+                out_specs=(rep, rep, rep, rep),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1, 2),
+        )
     eval_step = jax.jit(
         jax.shard_map(
             eval_shard,

@@ -91,10 +91,19 @@ class Trainer:
             tcfg.get("scheduler"), self.learning_rate, self.epochs,
             plateau_mode=self.plateau_mode,
         )
+        # fp16 compute needs GradScaler semantics (reference trainer_fixed.py
+        # :95,:161-174); bf16 on TPU does not (no loss scaling required).
+        precision = tcfg.get("precision") or (
+            "bf16" if tcfg.get("mixed_precision", False) else "fp32"
+        )
+        self.dynamic_loss_scale = precision == "fp16"
+        # torch GradScaler defaults: init_scale 65536, growth_interval 2000
+        self.scale_state = (np.float32(65536.0), np.int32(0))
         self.steps = make_step_fns(
             model, self.frontend, self.tx, self.mesh,
             accum_steps=self.accum_steps,
             augment=bool(dcfg.get("augmentation", False)) and getattr(train_dataset, "augment", True),
+            dynamic_loss_scale=self.dynamic_loss_scale,
         )
 
         # Parameter/optimizer initialization.
@@ -148,10 +157,17 @@ class Trainer:
         lr = np.float32(self.scheduler.lr)
         for step_idx, (wavs, labels) in enumerate(self._grouped_batches(self.train_loader)):
             key = jax.random.fold_in(jax.random.fold_in(self.train_key, epoch), step_idx)
-            self.params, self.batch_stats, self.opt_state, metrics = self.steps.train_step(
-                self.params, self.batch_stats, self.opt_state,
-                wavs, labels, self.class_weights, lr, key,
-            )
+            if self.dynamic_loss_scale:
+                (self.params, self.batch_stats, self.opt_state, metrics,
+                 self.scale_state) = self.steps.train_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    wavs, labels, self.class_weights, lr, key, self.scale_state,
+                )
+            else:
+                self.params, self.batch_stats, self.opt_state, metrics = self.steps.train_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    wavs, labels, self.class_weights, lr, key,
+                )
             losses.append(metrics["loss"])
             correct += float(metrics["correct"])
             total += float(metrics["count"])
@@ -200,7 +216,10 @@ class Trainer:
     def _is_improvement(self, metric: float) -> bool:
         return metric < self.best_val_loss
 
-    def train(self, resume_from: str | None = None) -> dict:
+    def train(self, resume_from: str | None = None, profile_dir: str | None = None) -> dict:
+        """profile_dir enables a jax.profiler trace of the first trained
+        epoch (TensorBoard-viewable) — the tracing subsystem the reference
+        lacks (SURVEY.md §5)."""
         if resume_from:
             self.restore(resume_from)
         print(f"\nStarting training for {self.epochs} epochs...")
@@ -212,7 +231,13 @@ class Trainer:
 
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
+            tracing = profile_dir is not None and epoch == self.start_epoch
+            if tracing:
+                jax.profiler.start_trace(profile_dir)
             train_loss, train_acc = self.train_epoch(epoch)
+            if tracing:
+                jax.profiler.stop_trace()
+                print(f"✓ Profiler trace written to {profile_dir}")
             val_loss, val_acc = self.validate(epoch)
             extra = self._epoch_metrics(epoch)
 

@@ -195,6 +195,31 @@ class TestBatchLoader:
         assert total == len(ds)
 
 
+class TestNativeBatchPath:
+    def test_load_batch_matches_getitem(self, segmented_root):
+        ds = ICBHISegmentedDataset(segmented_root, "train", CFG)
+        idxs = [0, 3, 5]
+        batch, labels = ds.load_batch(idxs)
+        assert batch.shape == (3, ds.target_length)
+        for row, i in enumerate(idxs):
+            wav, lbl = ds[i]
+            assert lbl == labels[row]
+            np.testing.assert_allclose(batch[row], wav, atol=1e-6)
+
+    def test_load_batch_resamples_mismatched_rate(self, tmp_path, rng):
+        # one file at a different sample rate forces the per-row fallback
+        from audio_classification_icbhi_tpu.data.annotations import SEGMENT_DIR_NAMES
+
+        d = tmp_path / SEGMENT_DIR_NAMES[0]
+        d.mkdir(parents=True)
+        write_wav(d / "a.wav", (0.2 * rng.standard_normal(16000)).astype(np.float32), 16000)
+        write_wav(d / "b.wav", (0.2 * rng.standard_normal(22050)).astype(np.float32), 22050)
+        ds = ICBHISegmentedDataset(tmp_path, "train", {"data": {**CFG["data"], "train_split": 1.0, "val_split": 0.0}})
+        batch, labels = ds.load_batch(range(len(ds)))
+        for row in range(len(ds)):
+            np.testing.assert_allclose(batch[row], ds[row][0], atol=1e-6)
+
+
 class TestSegmenter:
     def test_etl_roundtrip(self, icbhi_root, tmp_path):
         seg = ICBHISegmenter(icbhi_root / "audio_and_txt_files", tmp_path / "out")

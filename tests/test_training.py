@@ -288,6 +288,49 @@ class TestShardedTrainStep:
         want = float(-jnp.mean(jnp.take_along_axis(lp, jnp.asarray(labels[:8])[:, None], 1)))
         assert abs(float(num2) / float(den2) - want) < 5e-3
 
+    def test_fp16_dynamic_loss_scale(self, tiny_setup, rng):
+        """GradScaler parity (reference trainer_fixed.py:95,:161-174):
+        finite steps apply + bump good-step counter; overflow steps are
+        skipped and halve the scale."""
+        from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+
+        model, frontend, tx, _, variables = tiny_setup
+        steps = make_step_fns(
+            model, frontend, build_optimizer("adam"), get_mesh(),
+            accum_steps=1, augment=False, dynamic_loss_scale=True,
+        )
+        params = self._copy(variables["params"])
+        bs = self._copy(variables.get("batch_stats", {}))
+        opt = build_optimizer("adam").init(params)
+        B, L = 16, frontend.target_length
+        wavs = rng.standard_normal((1, B, L)).astype(np.float32)
+        labels = rng.integers(0, 4, (1, B)).astype(np.int32)
+        cw = np.ones(4, np.float32)
+        scale_state = (np.float32(65536.0), np.int32(0))
+
+        p1, bs, opt, m, scale_state = steps.train_step(
+            params, bs, opt, wavs, labels, cw, np.float32(1e-3),
+            jax.random.PRNGKey(0), scale_state,
+        )
+        assert float(m["step_skipped"]) == 0.0
+        assert float(scale_state[0]) == 65536.0
+        assert int(scale_state[1]) == 1
+
+        # Overflow injection: NaN wave -> non-finite grads -> skip + halve
+        before = np.asarray(jax.tree_util.tree_leaves(p1)[0])  # p1 gets donated
+        bad = wavs.copy()
+        bad[0, 0, 0] = np.nan
+        p2, bs, opt, m2, scale_state = steps.train_step(
+            p1, bs, opt, bad, labels, cw, np.float32(1e-3),
+            jax.random.PRNGKey(1), scale_state,
+        )
+        assert float(m2["step_skipped"]) == 1.0
+        assert float(scale_state[0]) == 32768.0
+        assert int(scale_state[1]) == 0
+        # params unchanged on the skipped step
+        after = np.asarray(jax.tree_util.tree_leaves(p2)[0])
+        np.testing.assert_array_equal(before, after)
+
     def test_batch_stats_synced_across_shards(self, tiny_setup, rng):
         """Cross-replica BN: stats after a step must be identical no matter
         how samples are distributed over devices."""

@@ -29,6 +29,10 @@ def parse_args():
     parser.add_argument("--data-path", type=str, help="Override data.dataset_path")
     parser.add_argument("--resume", type=str, help="Checkpoint to resume from")
     parser.add_argument("--num-devices", type=int, help="Limit the data-parallel mesh size")
+    parser.add_argument(
+        "--profile", type=str, metavar="DIR",
+        help="Write a jax.profiler trace of the first epoch to DIR",
+    )
     return parser.parse_args()
 
 
@@ -69,7 +73,7 @@ def build_trainer(args, dataset_cls, trainer_cls, default_config: str):
 def main():
     args = parse_args()
     trainer = build_trainer(args, ICBHIDataset, Trainer, "config.yaml")
-    history = trainer.train(resume_from=args.resume)
+    history = trainer.train(resume_from=args.resume, profile_dir=args.profile)
     plot_training_history(history, save_path="training_history.png")
     print("Training history saved to training_history.png")
 
