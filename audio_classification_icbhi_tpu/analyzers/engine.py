@@ -96,7 +96,13 @@ class AnalyzerEngine:
         wheeze_threshold: float = 0.3,
         mode: str = "threshold",
         max_duration: float | None = 15.0,
+        mesh=None,
     ):
+        """`mesh` (a jax.sharding.Mesh) shards the window axis across chips —
+        the data-parallel analog of sequence parallelism for this workload
+        (SURVEY.md §5 long-context row): arbitrary recording length scales by
+        splitting windows over the mesh, with one jitted graph."""
+        self.mesh = mesh
         self.classifier = ClassifierEngine(model_path)
         dcfg = self.classifier.config["data"]
         self.sample_rate = sample_rate or dcfg["sample_rate"]
@@ -169,7 +175,6 @@ class AnalyzerEngine:
         params, batch_stats = self.classifier.params, self.classifier.batch_stats
         frontend = self.frontend
 
-        @jax.jit
         def probs_fn(windows):
             mel = frontend(windows)[..., None]  # (W, n_mels, T, 1)
             logits = model.apply(
@@ -177,12 +182,25 @@ class AnalyzerEngine:
             )
             return jax.nn.softmax(logits, axis=-1)
 
-        return probs_fn
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            sharded = NamedSharding(self.mesh, P(axis))
+            return jax.jit(probs_fn, in_shardings=sharded, out_shardings=sharded)
+        return jax.jit(probs_fn)
+
+    def _window_bucket(self, w: int) -> int:
+        quantum = 32
+        if self.mesh is not None:
+            quantum = math.lcm(32, int(self.mesh.devices.size))
+        return max(quantum, int(math.ceil(w / quantum)) * quantum)
 
     def predict_window_probs(self, windows: np.ndarray) -> np.ndarray:
-        """Bucket window count to a multiple of 32, one jitted call."""
+        """Bucket window count (multiples of 32, and of the mesh size when
+        sharded), one jitted call."""
         w = windows.shape[0]
-        bucket = max(32, int(math.ceil(w / 32)) * 32)
+        bucket = self._window_bucket(w)
         if w < bucket:
             windows = np.concatenate(
                 [windows, np.zeros((bucket - w,) + windows.shape[1:], windows.dtype)]
