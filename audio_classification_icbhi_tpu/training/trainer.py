@@ -153,8 +153,8 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         self.train_loader.set_epoch(epoch)
-        losses, correct, total = [], 0.0, 0.0
         lr = np.float32(self.scheduler.lr)
+        step_metrics = []
         for step_idx, (wavs, labels) in enumerate(self._grouped_batches(self.train_loader)):
             key = jax.random.fold_in(jax.random.fold_in(self.train_key, epoch), step_idx)
             if self.dynamic_loss_scale:
@@ -168,12 +168,19 @@ class Trainer:
                     self.params, self.batch_stats, self.opt_state,
                     wavs, labels, self.class_weights, lr, key,
                 )
-            losses.append(metrics["loss"])
-            correct += float(metrics["correct"])
-            total += float(metrics["count"])
-        epoch_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
-        epoch_acc = 100.0 * correct / max(total, 1.0)
-        return epoch_loss, epoch_acc
+            # Do NOT fetch scalars here: a device->host scalar read costs
+            # 30-50 ms per RPC on the tunneled TPU backend (measured) vs a
+            # ~17 ms step — metrics transfer once per epoch instead. The
+            # block keeps the dispatch queue shallow (donated-buffer
+            # backpressure) at ~1 ms cost.
+            jax.block_until_ready(metrics["loss"])
+            step_metrics.append(metrics)
+        if not step_metrics:
+            return 0.0, 0.0
+        losses = np.asarray(jnp.stack([m["loss"] for m in step_metrics]))
+        correct = float(np.asarray(jnp.stack([m["correct"] for m in step_metrics])).sum())
+        total = float(np.asarray(jnp.stack([m["count"] for m in step_metrics])).sum())
+        return float(losses.mean()), 100.0 * correct / max(total, 1.0)
 
     def _eval_batches(self, loader):
         """Pad partial batches to batch_size with a validity mask so one
@@ -189,19 +196,20 @@ class Trainer:
             yield wavs, labels, mask, b
 
     def validate(self, epoch: int) -> tuple[float, float]:
-        num_sum, den_sum, correct, total, n_batches = 0.0, 0.0, 0.0, 0.0, 0
-        loss_accum = 0.0
+        sums, total = [], 0.0
         for wavs, labels, mask, b in self._eval_batches(self.val_loader):
             logits, num, den, corr = self.steps.eval_step(
                 self.params, self.batch_stats, wavs, labels, mask, self.class_weights
             )
-            # reference averages per-batch criterion values (trainer_fixed.py:224,237)
-            loss_accum += float(num) / max(float(den), 1e-12)
-            correct += float(corr)
+            jax.block_until_ready(num)  # shallow queue; reads deferred (see train_epoch)
+            sums.append((num, den, corr))
             total += b
-            n_batches += 1
-        val_loss = loss_accum / max(n_batches, 1)
-        val_acc = 100.0 * correct / max(total, 1.0)
+        if not sums:
+            return 0.0, 0.0
+        stacked = np.asarray(jnp.stack([jnp.stack(s) for s in sums]))  # (N, 3)
+        # reference averages per-batch criterion values (trainer_fixed.py:224,237)
+        val_loss = float(np.mean(stacked[:, 0] / np.maximum(stacked[:, 1], 1e-12)))
+        val_acc = 100.0 * float(stacked[:, 2].sum()) / max(total, 1.0)
         return val_loss, val_acc
 
     # ------------------------------------------------------------------ loop
