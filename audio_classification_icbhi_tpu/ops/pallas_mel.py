@@ -74,6 +74,82 @@ def _constants_bf16x3(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
     return _split_bf16(wc), _split_bf16(ws), fb
 
 
+@functools.lru_cache(maxsize=8)
+def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
+    """Radix-2 decimation-in-time constants.
+
+    The 2048-point windowed rDFT splits into two 1024-point DFTs over the
+    even/odd samples (window folded per-parity into the matrices), HALVING
+    the matmul FLOPs. Conjugate symmetry of the upper 511 bins and the
+    Nyquist bin folds into three combined mel matrices, so the kernel needs
+    no bin reversal:
+
+        P,Q = e @ (Ce,Se); R,T = o @ (Co,So)        # 4 matmuls, 1024-deep
+        A = P^2+Q^2+R^2+T^2; B = PR+QT; D = PT-QR   # VPU
+        mel = A@FA + B@FB + D@FD                    # one fused matmul
+
+    where for j=0..512, with c_k = cos(pi k/1024), s_k = sin(pi k/1024):
+        power[k]      = A + 2 c_k B - 2 s_k D        (k = j, lower half)
+        power[1024+j'] folds via A,B,D at j = 1024-k (upper half)
+        power[1024]   = A[0] - 2 B[0]                (Nyquist)
+    Verified exact (1e-9 vs rfft) in numpy before kerneling.
+    """
+    h = n_fft // 2          # 1024
+    nb = h // 2 + 1         # 513 half-spectrum bins
+    m = np.arange(h)
+    k = np.arange(nb)
+    ang = 2.0 * np.pi * np.outer(m, k) / h
+    n = np.arange(n_fft)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    ce = (w[0::2][:, None] * np.cos(ang)).astype(np.float32)
+    se = (w[0::2][:, None] * np.sin(ang)).astype(np.float32)
+    co = (w[1::2][:, None] * np.cos(ang)).astype(np.float32)
+    so = (w[1::2][:, None] * np.sin(ang)).astype(np.float32)
+
+    fb = np.asarray(
+        mel_ops._mel_filterbank_np(sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0,
+                                   mel_scale, norm)
+    ).astype(np.float64)
+    # Explicit re/im reconstruction per half avoids the catastrophic
+    # cancellation a fully-folded (A,B,D) form suffers on near-empty bins:
+    #   lower half (k = j = 0..512):      X = (P + cR - sT) - i(Q + cT + sR)
+    #   upper half (k = 1024 - j):        X = (P - cR + sT) + i(Q - cT - sR)
+    # with c = cos(pi j/1024), s = sin(pi j/1024). Upper-half mel weights are
+    # the filterbank rows PRE-PERMUTED to j-order: fb_hi[j] = fb[1024-j]
+    # (fb_hi[0] carries the Nyquist bin 1024; fb_hi[512] zeroed since bin
+    # 512 already lives in the lower half).
+    cj = np.cos(np.pi * np.arange(nb) / h)
+    sj = np.sin(np.pi * np.arange(nb) / h)
+    fb_lo = fb[:nb, :].copy()
+    fb_hi = np.zeros_like(fb_lo)
+    for j in range(0, nb - 1):  # j=0 -> Nyquist bin 1024, j=1..511 -> bins 1023..513
+        fb_hi[j] = fb[n_fft // 2 - j]
+
+    nb_pad = _round_up(nb, 128)
+    m_pad = _round_up(n_mels, 128)
+
+    def padk(x):
+        out = np.zeros((h, nb_pad), np.float32)
+        out[:, :nb] = x
+        return out
+
+    def padf(x):
+        out = np.zeros((nb_pad, m_pad), np.float32)
+        out[:nb, :n_mels] = x
+        return out
+
+    def padv(x):
+        out = np.zeros((1, nb_pad), np.float32)
+        out[0, :nb] = x
+        return out
+
+    return (
+        _split_bf16(padk(ce)), _split_bf16(padk(se)),
+        _split_bf16(padk(co)), _split_bf16(padk(so)),
+        padv(cj), padv(sj), padf(fb_lo), padf(fb_hi),
+    )
+
+
 def _dot_f32(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -139,6 +215,95 @@ def _kernel_bf16x3(frames_ref, wc_ref, ws_ref, fb_ref, out_ref, acc_ref, *, f_ti
         out_ref[0] = 10.0 * jnp.log10(jnp.maximum(acc_ref[:], 1e-10))
 
 
+def _kernel_radix2(e_ref, o_ref, ce_ref, se_ref, co_ref, so_ref,
+                   cj_ref, sj_ref, fblo_ref, fbhi_ref, out_ref):
+    """Grid: (row_tiles,). All constants have grid-invariant block indices,
+    so Pallas DMAs them into VMEM exactly once — unlike the f-tiled kernels
+    whose DFT-matrix streaming dominated their runtime."""
+    e = e_ref[:]
+    o = o_ref[:]
+    e_hi = e.astype(jnp.bfloat16)
+    e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    o_hi = o.astype(jnp.bfloat16)
+    o_lo = (o - o_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot4(x_hi, x_lo, m_ref):
+        # bf16x4 (incl. lo@lo): tonal signals cancel 1024-term sums down to
+        # ~1e-5 of the operand norms (window sidelobes), so the DFT needs
+        # full ~f32 accuracy; 4 passes on half-size matrices still costs
+        # only 2/3 of 3 passes on the full-size DFT.
+        hi, lo = m_ref[0], m_ref[1]
+        return (
+            _dot_bf16(x_hi, hi) + _dot_bf16(x_hi, lo)
+            + _dot_bf16(x_lo, hi) + _dot_bf16(x_lo, lo)
+        )
+
+    p = dot4(e_hi, e_lo, ce_ref)
+    q = dot4(e_hi, e_lo, se_ref)
+    r = dot4(o_hi, o_lo, co_ref)
+    t = dot4(o_hi, o_lo, so_ref)
+    c = cj_ref[:]  # (1, nb_pad), broadcasts over rows
+    s = sj_ref[:]
+    cr = c * r
+    st = s * t
+    ct = c * t
+    sr = s * r
+    re_lo = p + cr - st
+    im_lo = q + ct + sr
+    re_hi = p - cr + st
+    im_hi = q - ct - sr
+    power_lo = re_lo * re_lo + im_lo * im_lo
+    power_hi = re_hi * re_hi + im_hi * im_hi
+    mel = _dot_f32(power_lo, fblo_ref[:]) + _dot_f32(power_hi, fbhi_ref[:])
+    out_ref[:] = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
+                    mel_scale, norm, tile_r: int, interpret: bool):
+    b, length = waveform.shape
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)
+    rows = b * t
+    rows_pad = _round_up(rows, tile_r)
+    flat = frames.reshape(rows, n_fft)
+    if rows_pad != rows:
+        flat = jnp.pad(flat, ((0, rows_pad - rows), (0, 0)))
+    # de-interleave outside the kernel (strided lane slicing is hostile to
+    # Mosaic): (rows, 1024, 2) -> even/odd halves
+    pairs = flat.reshape(rows_pad, n_fft // 2, 2)
+    e = pairs[:, :, 0]
+    o = pairs[:, :, 1]
+
+    ce, se, co, so, cj, sj, fb_lo, fb_hi = _constants_radix2(
+        sample_rate, n_fft, n_mels, mel_scale, norm
+    )
+    h = n_fft // 2
+    nb_pad = ce.shape[2]
+    m_pad = fb_lo.shape[1]
+
+    const3 = lambda: pl.BlockSpec((2, h, nb_pad), lambda ri: (0, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    const2 = lambda shp: pl.BlockSpec(shp, lambda ri: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel_radix2,
+        grid=(rows_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, h), lambda ri: (ri, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, h), lambda ri: (ri, 0), memory_space=pltpu.VMEM),
+            const3(), const3(), const3(), const3(),
+            const2((1, nb_pad)), const2((1, nb_pad)),
+            const2((nb_pad, m_pad)), const2((nb_pad, m_pad)),
+        ],
+        out_specs=pl.BlockSpec((tile_r, m_pad), lambda ri: (ri, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, m_pad), jnp.float32),
+        interpret=interpret,
+    )(e, o, *(jnp.asarray(x) for x in (ce, se, co, so, cj, sj, fb_lo, fb_hi)))
+    mel = out[:rows, :n_mels].reshape(b, t, n_mels)
+    return jnp.swapaxes(mel, 1, 2)  # (B, n_mels, T)
+
+
 def log_mel_pallas(
     waveform: jax.Array,
     sample_rate: int,
@@ -148,7 +313,7 @@ def log_mel_pallas(
     *,
     mel_scale: str = "htk",
     norm: str | None = None,
-    algorithm: str = "bf16x3",  # "bf16x3" (3 bf16 MXU passes) | "f32"
+    algorithm: str = "radix2",  # "radix2" | "bf16x3" | "f32"
     tile_t: int = 64,
     f_tile: int = 512,
     interpret: bool = False,
@@ -165,6 +330,13 @@ def log_mel_pallas(
             mel_scale=mel_scale, norm=norm, algorithm=algorithm,
             tile_t=tile_t, f_tile=f_tile, interpret=interpret,
         )[0]
+    if algorithm == "radix2":
+        if n_fft % 4:
+            raise ValueError("radix2 requires n_fft divisible by 4")
+        return _log_mel_radix2(
+            waveform, sample_rate, n_fft, hop_length, n_mels,
+            mel_scale, norm, tile_r=128, interpret=interpret,
+        )
     b, length = waveform.shape
     t = stft_ops.num_frames(length, n_fft, hop_length)
     frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)

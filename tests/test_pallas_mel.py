@@ -51,6 +51,32 @@ class TestPallasMel:
         # chip); vs the f32 FFT path allow both errors' sum
         np.testing.assert_allclose(got, xla_ref(wav), atol=2e-3)
 
+    def test_radix2_within_parity_budget(self, wav):
+        """Radix-2 DIT kernel: half the DFT FLOPs, VMEM-resident constants,
+        conjugate symmetry folded into pre-permuted mel matrices."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix2", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
+
+    def test_radix2_noise_and_odd_batch(self, rng):
+        n = (0.1 * rng.standard_normal((3, SR + 321))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix2", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(n), atol=1e-3)
+
+    def test_radix2_slaney(self, wav):
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           mel_scale="slaney", norm="slaney",
+                           algorithm="radix2", interpret=True)
+        )
+        want = xla_ref(wav, mel_scale="slaney", norm="slaney")
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
     def test_1d_input_and_odd_length(self, rng):
         t = np.arange(SR + 137) / SR
         wav = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
