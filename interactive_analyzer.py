@@ -48,10 +48,12 @@ class InteractiveAudioVisualizer:
 
         # pygame.mixer playback (gated: keeps running without audio hardware)
         self.sound = None
+        self._mixer_channels = 1
         try:
             pygame.mixer.init(frequency=sample_rate, channels=1)
-            pcm = (np.clip(self.audio, -1, 1) * 32767).astype(np.int16)
-            self.sound = pygame.sndarray.make_sound(pcm)
+            # the mixer may come up stereo regardless of the request
+            self._mixer_channels = (pygame.mixer.get_init() or (0, 0, 1))[2]
+            self.sound = pygame.sndarray.make_sound(self._pcm(self.audio))
         except Exception as e:
             print(f"(audio playback unavailable: {e})")
 
@@ -59,6 +61,12 @@ class InteractiveAudioVisualizer:
         n_px = self.WIDTH - 100
         idx = np.linspace(0, len(self.audio) - 1, n_px).astype(int)
         self.wave_px = self.audio[idx]
+
+    def _pcm(self, samples: np.ndarray) -> np.ndarray:
+        pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+        if self._mixer_channels > 1:
+            pcm = np.repeat(pcm[:, None], self._mixer_channels, axis=1)
+        return np.ascontiguousarray(pcm)
 
     def _label(self, r):
         if r.has_crackle and r.has_wheeze:
@@ -130,9 +138,8 @@ class InteractiveAudioVisualizer:
             return
         self.pygame.mixer.stop()
         start = int(t * self.sample_rate)
-        pcm = (np.clip(self.audio[start:], -1, 1) * 32767).astype(np.int16)
-        if len(pcm):
-            self.sound = self.pygame.sndarray.make_sound(pcm)
+        if start < len(self.audio):
+            self.sound = self.pygame.sndarray.make_sound(self._pcm(self.audio[start:]))
             self.sound.play()
 
     def _stop(self):
