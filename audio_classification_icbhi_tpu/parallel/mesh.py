@@ -27,6 +27,41 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = DATA_AXIS):
     return out if len(out) > 1 else out[0]
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host initialization (SPMD over DCN across hosts + ICI within).
+
+    On a TPU pod slice, call once per host before get_mesh(); with no
+    arguments jax.distributed.initialize autodetects the TPU environment.
+    Returns the process index. Single-process environments are a no-op.
+    The reference has no distributed backend at all (SURVEY.md §2.3); this
+    is the TPU-native replacement for what NCCL/MPI init would have been.
+    """
+    if num_processes in (None, 1) and coordinator_address is None:
+        try:
+            return jax.process_index()
+        except Exception:
+            return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def local_batch_slice(global_batch: int, axis_name: str = DATA_AXIS) -> slice:
+    """This host's slice of a globally-sharded batch (per-host input
+    sharding: each host feeds only its local devices' rows)."""
+    n_proc = jax.process_count()
+    per_host = global_batch // n_proc
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())

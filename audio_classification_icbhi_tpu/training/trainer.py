@@ -141,7 +141,16 @@ class Trainer:
     # ------------------------------------------------------------------ epochs
 
     def _grouped_batches(self, loader):
-        """Yield (wavs (A, B, L), labels (A, B)) stacked accumulation groups."""
+        """Yield (wavs (A, B, L), labels (A, B)) stacked accumulation groups.
+
+        A partial tail group (fewer than accum_steps loader batches) is
+        yielded too and steps the optimizer with its gradient scaled by
+        tail/accum — the scan length becomes the leading dim, costing one
+        extra compile for the tail shape. (Skipping the tail silently
+        trained NOTHING whenever a small dataset had fewer batches per
+        epoch than accum_steps — found live; the reference instead leaks
+        tail gradients into the next epoch, trainer_fixed.py:167-180.)
+        """
         buf_w, buf_l = [], []
         for wavs, labels in loader:
             buf_w.append(wavs)
@@ -149,7 +158,8 @@ class Trainer:
             if len(buf_w) == self.accum_steps:
                 yield np.stack(buf_w), np.stack(buf_l)
                 buf_w, buf_l = [], []
-        # tail group smaller than accum_steps is skipped (see module docstring)
+        if buf_w:
+            yield np.stack(buf_w), np.stack(buf_l)
 
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         self.train_loader.set_epoch(epoch)

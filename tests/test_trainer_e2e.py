@@ -126,6 +126,22 @@ class TestTrainerEndToEnd:
         history = trainer.train()
         assert np.isfinite(history["train_loss"][0])
 
+    def test_partial_accum_group_still_trains(self, seg_data, tmp_path):
+        """Regression: fewer loader batches than accum_steps must still
+        train (found live: the epoch silently yielded zero optimizer steps,
+        loss 0.0)."""
+        import jax
+
+        config = tiny_config(tmp_path, epochs=1)
+        config["training"]["gradient_accumulation_steps"] = 16  # >> n_batches
+        train, val = make_datasets(seg_data, config)
+        trainer = Trainer(build_model(config), train, val, config)
+        before = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).copy()
+        history = trainer.train()
+        assert history["train_loss"][0] > 0.5  # real loss, not the empty-epoch 0.0
+        after = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+        assert not np.array_equal(before, after)  # optimizer actually stepped
+
     def test_batch_size_mesh_divisibility_error(self, seg_data, tmp_path):
         config = tiny_config(tmp_path)
         config["training"]["batch_size"] = 6  # not divisible by 8 devices
