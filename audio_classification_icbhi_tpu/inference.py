@@ -47,8 +47,13 @@ class ClassifierEngine:
         )
         self.model = build_model(self.config)
         # bind restored state onto a template of the right pytree structure
-        dummy = jnp.zeros((1, dcfg["n_mels"], self.frontend.num_frames, 1), jnp.float32)
-        template = self.model.init(jax.random.PRNGKey(0), dummy, train=False)
+        # (template init on CPU: eager init is slow through the TPU tunnel)
+        from audio_classification_icbhi_tpu.models.registry import init_variables
+
+        template = init_variables(
+            self.model, jax.random.PRNGKey(0),
+            (1, dcfg["n_mels"], self.frontend.num_frames, 1),
+        )
         self.params = serialization.from_state_dict(template["params"], ckpt["params"])
         self.batch_stats = serialization.from_state_dict(
             template.get("batch_stats", {}), ckpt.get("batch_stats", {})

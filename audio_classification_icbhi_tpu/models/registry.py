@@ -49,6 +49,24 @@ def build_model(config: dict[str, Any], *, axis_name: str | None = None, dtype=N
     )
 
 
+def init_variables(model, key, input_shape, dtype=None):
+    """model.init on the CPU backend: eager initialization dispatches
+    hundreds of tiny ops, each a 30-50 ms RPC through a tunneled TPU
+    backend (minutes total); on CPU it is instant, and jit transfers the
+    resulting arrays to the compute device once."""
+    import contextlib
+
+    import jax
+
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        dummy = jnp.zeros(input_shape, dtype or jnp.float32)
+        return model.init(key, dummy, train=False)
+
+
 def _register_builtins():
     from audio_classification_icbhi_tpu.models.cnn import LightweightCNN
     from audio_classification_icbhi_tpu.models.resnet import CompactResNet

@@ -106,11 +106,14 @@ class Trainer:
             dynamic_loss_scale=self.dynamic_loss_scale,
         )
 
-        # Parameter/optimizer initialization.
+        # Parameter/optimizer initialization (on CPU — see init_variables).
+        from audio_classification_icbhi_tpu.models.registry import init_variables
+
         self.root_key = jax.random.PRNGKey(config.get("seed", 42))
         init_key, self.train_key = jax.random.split(self.root_key)
-        dummy = jnp.zeros((2, dcfg["n_mels"], self.frontend.num_frames, 1), jnp.float32)
-        variables = model.init(init_key, dummy, train=False)
+        variables = init_variables(
+            model, init_key, (2, dcfg["n_mels"], self.frontend.num_frames, 1)
+        )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)

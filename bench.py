@@ -25,8 +25,16 @@ def main():
     frontend = MelFrontend(sample_rate=16000, n_mels=128, n_fft=2048,
                            hop_length=512, duration=5.0, use_matmul_dft=True)
     model = LightweightCNN(num_classes=4, dtype=jnp.bfloat16)
-    dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    try:  # init on CPU: eager-init dispatches are slow through the tunnel
+        cpu = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu)
+    except RuntimeError:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
 
     @jax.jit
     def wav_to_logits(wavs):
