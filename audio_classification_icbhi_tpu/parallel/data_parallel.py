@@ -129,12 +129,13 @@ def make_step_fns(
     growth_interval = 2000
 
     def loss_fn(params, batch_stats, wavs, labels, mask, class_weights, key, train):
-        feats = features_from_wavs(frontend, wavs, augment=augment and train, key=key)
+        k_aug, k_drop = jax.random.split(key)  # independent aug/dropout streams
+        feats = features_from_wavs(frontend, wavs, augment=augment and train, key=k_aug)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             logits, mutated = model.apply(
                 variables, feats, train=True,
-                rngs={"dropout": key}, mutable=["batch_stats"],
+                rngs={"dropout": k_drop}, mutable=["batch_stats"],
             )
             new_stats = mutated["batch_stats"]
         else:
