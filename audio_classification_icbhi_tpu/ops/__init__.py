@@ -26,3 +26,8 @@ from audio_classification_icbhi_tpu.ops.augment import (  # noqa: F401
     time_shift,
 )
 from audio_classification_icbhi_tpu.ops.resample import resample  # noqa: F401
+from audio_classification_icbhi_tpu.ops.time_stretch import (  # noqa: F401
+    TimeStretch,
+    phase_vocoder,
+    stft_complex,
+)
