@@ -41,18 +41,23 @@ def main():
         return model.apply(variables, features_from_wavs(frontend, wavs), train=False)
 
     rng = np.random.default_rng(0)
-    wavs = jnp.asarray(rng.standard_normal((batch, frontend.target_length)).astype(np.float32) * 0.1)
-
-    jax.block_until_ready(wav_to_logits(wavs))  # compile
-    # steady-state: enough reps for >=1s of device time
-    reps = 3
+    # rotate distinct device-resident inputs and end with a REAL data fetch:
+    # rules out any same-input caching and early-returning block_until_ready
+    # on tunneled backends (cross-checked: matches same-input timing here)
+    inputs = [
+        jnp.asarray(rng.standard_normal((batch, frontend.target_length)).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    for w in inputs:  # compile + force completion
+        float(np.asarray(wav_to_logits(w))[0, 0])
+    reps = 6
     while True:
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = wav_to_logits(wavs)
-        jax.block_until_ready(out)
+        for i in range(reps):
+            out = wav_to_logits(inputs[i % 4])
+        float(np.asarray(out)[0, 0])
         dt = time.perf_counter() - t0
-        if dt > 1.0 or reps >= 96:
+        if dt > 1.0 or reps >= 192:
             break
         reps *= 2
     clips_per_sec = batch * reps / dt
