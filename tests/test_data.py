@@ -91,6 +91,64 @@ class TestWavIO:
         assert host.shape == dev.shape
         np.testing.assert_allclose(host, dev, atol=1e-4)
 
+    def test_pcm24_decode(self, tmp_path, rng):
+        """Hand-craft a 24-bit PCM WAV (the writer only emits 16/32f)."""
+        import struct
+
+        x = (0.5 * rng.standard_normal(1000)).clip(-1, 1)
+        vals = (x * (1 << 23)).astype(np.int32).clip(-(1 << 23), (1 << 23) - 1)
+        payload = b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * 3, 3, 24)
+        hdr += b"data" + struct.pack("<I", len(payload))
+        p = tmp_path / "p24.wav"
+        p.write_bytes(hdr + payload)
+        y, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(y[0], vals / float(1 << 23), atol=1e-6)
+        # the native decoder agrees bit-for-bit
+        from audio_classification_icbhi_tpu import native
+
+        if native.available():
+            mono, nsr = native.decode_mono(p)
+            np.testing.assert_array_equal(mono, y[0].astype(np.float32))
+
+    def test_float64_decode(self, tmp_path, rng):
+        import struct
+
+        x = rng.standard_normal(500)
+        payload = x.astype("<f8").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 16000 * 8, 8, 64)
+        hdr += b"data" + struct.pack("<I", len(payload))
+        p = tmp_path / "f64.wav"
+        p.write_bytes(hdr + payload)
+        y, sr = read_wav(p)
+        np.testing.assert_allclose(y[0], x.astype(np.float32), atol=1e-7)
+
+    def test_wave_format_extensible(self, tmp_path, rng):
+        """WAVE_FORMAT_EXTENSIBLE wrapper around PCM16."""
+        import struct
+
+        x = (0.3 * rng.standard_normal(400)).astype(np.float32)
+        payload = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        # fmt chunk: extensible (0xFFFE), cbSize 22, subformat GUID leads
+        # with the real format code (1 = PCM)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+        # cbSize=22, validBits=16, channelMask=0, then SubFormat GUID whose
+        # first two bytes carry the real format code (1 = PCM)
+        fmt += struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) + b"\x00" * 14
+        hdr = b"RIFF" + struct.pack("<I", 20 + len(fmt) + 8 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        hdr += b"data" + struct.pack("<I", len(payload))
+        p = tmp_path / "ext.wav"
+        p.write_bytes(hdr + payload)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y[0], np.clip(x, -1, 1), atol=1e-4)
+
     def test_bad_file_raises(self, tmp_path):
         p = tmp_path / "bad.wav"
         p.write_bytes(b"this is not a wav file at all")
