@@ -168,6 +168,136 @@ def power_to_db(
     return log_spec
 
 
+# --- Radix-2 XLA front end ----------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _radix2_xla_constants(
+    sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm
+):
+    """Radix-2 DIT constants for the XLA path: windowed even/odd 1024-point
+    DFT matrices, twiddle vectors, and the mel filterbank split into a
+    lower-half part and an UPPER-HALF part pre-permuted to j-order
+    (fb_hi[j] = fb[n_fft/2 - j], Nyquist at j=0), which folds the conjugate
+    symmetry so no bin reversal is needed. Same derivation as the Pallas
+    radix-2 kernel (ops/pallas_mel.py), validated exact vs rfft."""
+    h = n_fft // 2
+    nb = h // 2 + 1
+    m = np.arange(h)
+    k = np.arange(nb)
+    ang = 2.0 * np.pi * np.outer(m, k) / h
+    n = np.arange(n_fft)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    ce = (w[0::2][:, None] * np.cos(ang)).astype(np.float32)
+    se = (w[0::2][:, None] * np.sin(ang)).astype(np.float32)
+    co = (w[1::2][:, None] * np.cos(ang)).astype(np.float32)
+    so = (w[1::2][:, None] * np.sin(ang)).astype(np.float32)
+    cj = np.cos(np.pi * np.arange(nb) / h).astype(np.float32)
+    sj = np.sin(np.pi * np.arange(nb) / h).astype(np.float32)
+    fb = _mel_filterbank_np(
+        sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0, mel_scale, norm
+    ).astype(np.float64)
+    fb_lo = fb[:nb].astype(np.float32)
+    fb_hi = np.zeros_like(fb_lo)
+    for j in range(0, nb - 1):
+        fb_hi[j] = fb[h - j]  # bins 1024 (Nyquist) .. 513; fb_hi[512] stays 0
+    return ce, se, co, so, cj, sj, fb_lo, fb_hi
+
+
+def _split_bf16_np(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    import ml_dtypes
+
+    hi = x.astype(ml_dtypes.bfloat16)
+    lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _log_mel_radix2_xla(
+    waveform, sample_rate, n_fft, hop_length, n_mels, mel_scale, norm,
+    precision="bf16x4",
+):
+    """waveform (..., L) -> un-dB mel (..., n_mels, T) via the radix-2
+    decomposition in plain XLA: half the DFT FLOPs of the direct matmul-DFT
+    and still fully fusable with downstream consumers.
+
+    precision: "bf16x4" (default) hand-decomposes each f32 DFT matmul into 4
+    bf16 MXU passes (hi/lo splits of both operands) — near-f32 accuracy
+    (~5e-4 dB worst case) at 2/3 the passes of XLA HIGHEST; or a
+    jax.lax.Precision for the stock XLA behavior.
+    """
+    from audio_classification_icbhi_tpu.ops import stft as stft_ops
+
+    frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (..., T, n_fft)
+    pairs = frames.reshape(frames.shape[:-1] + (n_fft // 2, 2))
+    e = pairs[..., 0]
+    o = pairs[..., 1]
+    ce, se, co, so, cj, sj, fb_lo, fb_hi = _radix2_xla_constants(
+        sample_rate, n_fft, n_mels, mel_scale, norm
+    )
+    cj, sj, fb_lo, fb_hi = (jnp.asarray(x) for x in (cj, sj, fb_lo, fb_hi))
+    if precision == "bf16x4":
+        def split(x):
+            # bf16 hi/lo split via explicit bit arithmetic: XLA-TPU's
+            # simplifier elides `x - upcast(downcast(x))` to ZERO (measured),
+            # silently degrading the decomposition to plain bf16. Integer
+            # round-to-nearest-even to the top 16 bits cannot be elided;
+            # hi is exactly representable in bf16 and the residual
+            # (<= 2^-9 relative) fits the second bf16.
+            u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            bias = np.uint32(0x7FFF) + ((u >> 16) & np.uint32(1))
+            hi = jax.lax.bitcast_convert_type(
+                (u + bias) & np.uint32(0xFFFF0000), jnp.float32
+            )
+            return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+        # Rewrite-proof bf16x4: XLA's algebraic simplifier turns sums of
+        # dots sharing an operand (dot(a,b)+dot(a,c) or dot(a,M)+dot(b,M))
+        # into a single dot with the ADD DONE IN BF16, silently destroying
+        # the lo components (measured 0.43 dB error). Folding the whole
+        # decomposition into ONE dot sidesteps it: the input carries
+        # [x_hi | x_lo] on the contraction axis, the matrix carries
+        # [[m_hi | m_lo], [m_hi | m_lo]], and the two output halves
+        # (x_hi@m_hi + x_lo@m_hi | x_hi@m_lo + x_lo@m_lo) add in f32.
+        e2 = jnp.concatenate(split(e), axis=-1)  # (..., n_fft) bf16
+        o2 = jnp.concatenate(split(o), axis=-1)
+        mats = {}
+        for name, m in (("ce", ce), ("se", se), ("co", co), ("so", so)):
+            hi, lo = _split_bf16_np(m)
+            hl = np.concatenate([hi, lo], axis=1)
+            mats[name] = jnp.asarray(np.concatenate([hl, hl], axis=0))
+        nb = ce.shape[1]
+
+        def dot4(x2, name):
+            both = jnp.matmul(x2, mats[name], preferred_element_type=jnp.float32)
+            return both[..., :nb] + both[..., nb:]
+
+        p = dot4(e2, "ce")
+        q = dot4(e2, "se")
+        r = dot4(o2, "co")
+        t = dot4(o2, "so")
+        dot = functools.partial(
+            jnp.matmul, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        dot = functools.partial(
+            jnp.matmul, precision=precision, preferred_element_type=jnp.float32
+        )
+        ce, se, co, so = (jnp.asarray(x) for x in (ce, se, co, so))
+        p = dot(e, ce)
+        q = dot(e, se)
+        r = dot(o, co)
+        t = dot(o, so)
+    cr, st, ct, sr = cj * r, sj * t, cj * t, sj * r
+    re_lo = p + cr - st
+    im_lo = q + ct + sr
+    re_hi = p - cr + st
+    im_hi = q - ct - sr
+    mel = dot(re_lo * re_lo + im_lo * im_lo, fb_lo) + dot(
+        re_hi * re_hi + im_hi * im_hi, fb_hi
+    )
+    return jnp.swapaxes(mel, -1, -2)  # (..., n_mels, T)
+
+
 # --- Fused log-mel front end -------------------------------------------------
 
 def log_mel_spectrogram(
@@ -255,15 +385,20 @@ class MelFrontend:
         self.backend = backend
 
     def _use_pallas(self) -> bool:
-        """Backend choice. Measured on v5e: the fused Pallas kernel wins
-        mel-only (13.4k vs 9.7k clips/s) but the XLA path wins the full
-        mel+normalize+CNN pipeline (22.2k vs 16.1k) because XLA fuses the
-        downstream consumers and the kernel re-streams its DFT constants per
-        grid cell. auto therefore picks XLA until the kernel wins end-to-end
-        (constant-residency rework tracked in ops/pallas_mel.py)."""
+        """Backend choice. Measured on v5e: the fused Pallas kernels win
+        mel-only (13.4k vs 9.7k clips/s) but the XLA paths win the full
+        mel+normalize+CNN pipeline because XLA fuses the downstream
+        consumers. auto therefore picks XLA ("xla_radix2" when eligible)."""
         if self.backend == "pallas":
             return True
         return False
+
+    def _use_xla_radix2(self) -> bool:
+        """Radix-2 decomposition in plain XLA: half the DFT FLOPs, still
+        fusable. Used automatically when the shape qualifies."""
+        if self.backend == "xla_radix2":
+            return True
+        return self.backend == "auto" and self.n_fft % 4 == 0
 
     @property
     def num_frames(self) -> int:
@@ -284,6 +419,12 @@ class MelFrontend:
                 mel_scale=self.mel_scale,
                 norm=self.norm,
             )
+        if self._use_xla_radix2():
+            mel = _log_mel_radix2_xla(
+                waveform, self.sample_rate, self.n_fft, self.hop_length,
+                self.n_mels, self.mel_scale, self.norm,
+            )
+            return amplitude_to_db(mel, stype="power")
         return log_mel_spectrogram(
             waveform,
             self.sample_rate,

@@ -97,6 +97,20 @@ class TestPallasMel:
         want = xla_ref(wav, mel_scale="slaney", norm="slaney")
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_xla_radix2_frontend_within_budget(self, wav):
+        """The production MelFrontend auto path (radix-2 bf16x4 in XLA with
+        the RTN bit-split) must stay inside the 1e-3 budget — including the
+        elision trap: XLA-TPU rewrites `x - upcast(downcast(x))` to zero, so
+        the split uses integer bit arithmetic (8.6e-4 measured on chip)."""
+        fe = mel_ops.MelFrontend(normalize=False)
+        assert fe._use_xla_radix2()
+        got = np.asarray(fe.log_mel(jnp.asarray(wav)))
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
+
+    def test_xla_radix2_odd_nfft_falls_back(self):
+        fe = mel_ops.MelFrontend(n_fft=1026, hop_length=342)  # not /4
+        assert not fe._use_xla_radix2()
+
     def test_frontend_backend_selection(self):
         fe_auto = mel_ops.MelFrontend()
         assert not fe_auto._use_pallas()  # auto = XLA (faster end-to-end)
