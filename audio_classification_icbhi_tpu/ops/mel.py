@@ -226,10 +226,7 @@ def _log_mel_radix2_xla(
     """
     from audio_classification_icbhi_tpu.ops import stft as stft_ops
 
-    frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (..., T, n_fft)
-    pairs = frames.reshape(frames.shape[:-1] + (n_fft // 2, 2))
-    e = pairs[..., 0]
-    o = pairs[..., 1]
+    e, o = stft_ops.frame_even_odd(waveform, n_fft, hop_length)
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _radix2_xla_constants(
         sample_rate, n_fft, n_mels, mel_scale, norm
     )

@@ -74,6 +74,36 @@ def frame_signal(
     return x[..., idx]
 
 
+def frame_even_odd(
+    x: jax.Array, n_fft: int, hop_length: int, *, center: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Framing fused with even/odd de-interleave for radix-2 DFTs:
+    (..., L) -> (e, o) each (..., T, n_fft//2), where e/o carry the
+    even/odd-indexed samples of each frame. Avoids materializing the full
+    (..., T, n_fft) frame tensor (a 164 MB round-trip at batch 128 x 5 s).
+    Requires n_fft % hop == 0 and hop even (true for all reference configs).
+    """
+    if n_fft % hop_length or hop_length % 2:
+        frames = frame_signal(x, n_fft, hop_length, center=center)
+        pairs = frames.reshape(frames.shape[:-1] + (n_fft // 2, 2))
+        return pairs[..., 0], pairs[..., 1]
+    length = x.shape[-1]
+    t = num_frames(length, n_fft, hop_length, center=center)
+    if center:
+        x = reflect_pad(x, n_fft // 2)
+    ratio = n_fft // hop_length
+    needed = (t + ratio - 1) * hop_length
+    x = x[..., :needed]
+    # rows (..., t+ratio-1, hop/2, 2): parity is per-sample within each row,
+    # and rows start at even offsets (hop even), so frame parity == row parity
+    rows = x.reshape(x.shape[:-1] + (t + ratio - 1, hop_length // 2, 2))
+    er = rows[..., 0]
+    orr = rows[..., 1]
+    e = jnp.concatenate([er[..., i : i + t, :] for i in range(ratio)], axis=-1)
+    o = jnp.concatenate([orr[..., i : i + t, :] for i in range(ratio)], axis=-1)
+    return e, o
+
+
 @functools.lru_cache(maxsize=8)
 def dft_matrices(n_fft: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
     """Real-DFT cosine/sine matrices, shape (n_fft, n_fft//2+1).

@@ -133,6 +133,16 @@ class TestSTFT:
         mm = np.asarray(ops.stft_power(jnp.asarray(x), N_FFT, HOP, use_matmul_dft=True))
         np.testing.assert_allclose(mm, fft, rtol=1e-3, atol=2e-3)
 
+    def test_frame_even_odd_matches_deinterleaved_frames(self, rng):
+        """Fused framing+deinterleave == frame_signal then parity split,
+        on both the fast path (n_fft%hop==0, hop even) and the fallback."""
+        x = jnp.asarray(np.stack([make_signal(rng), make_signal(rng)]))
+        for n_fft, hop in ((2048, 512), (2048, 600)):  # fast path / fallback
+            e, o = stft_ops.frame_even_odd(x, n_fft, hop)
+            frames = np.asarray(stft_ops.frame_signal(x, n_fft, hop))
+            np.testing.assert_array_equal(np.asarray(e), frames[..., 0::2])
+            np.testing.assert_array_equal(np.asarray(o), frames[..., 1::2])
+
     def test_batched(self, rng):
         x = np.stack([make_signal(rng), make_signal(rng)])
         got = ops.stft_power(jnp.asarray(x), N_FFT, HOP)
