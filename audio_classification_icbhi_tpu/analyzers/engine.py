@@ -71,10 +71,20 @@ class FlexibleMelFrontend:
 
     def __call__(self, wavs: jax.Array) -> jax.Array:
         """(B, L) -> (B, n_mels, T_fixed), normalized."""
-        mel = mel_ops.log_mel_spectrogram(
-            wavs, self.sample_rate, self.n_fft, self.hop_length, self.n_mels,
-            use_matmul_dft=True,
-        )
+        if self.n_fft % 4 == 0:
+            # same radix-2 bf16x4 path as the training frontend
+            mel = mel_ops.amplitude_to_db(
+                mel_ops._log_mel_radix2_xla(
+                    wavs, self.sample_rate, self.n_fft, self.hop_length,
+                    self.n_mels, "htk", None,
+                ),
+                stype="power",
+            )
+        else:
+            mel = mel_ops.log_mel_spectrogram(
+                wavs, self.sample_rate, self.n_fft, self.hop_length, self.n_mels,
+                use_matmul_dft=True,
+            )
         if mel.shape[-1] != self.target_time_steps:
             # bilinear, half-pixel centers == torch align_corners=False (:144-149)
             mel = jax.image.resize(
