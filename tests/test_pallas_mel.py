@@ -107,6 +107,33 @@ class TestPallasMel:
         got = np.asarray(fe.log_mel(jnp.asarray(wav)))
         np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
 
+    @pytest.mark.parametrize("n_fft,hop,n_mels", [(1024, 256, 128), (512, 128, 64), (256, 64, 32)])
+    def test_xla_radix2_other_configs(self, rng, n_fft, hop, n_mels):
+        """The analyzer's flexible frontend reconfigures n_fft/hop for short
+        windows (preprocessing_flexible.py:34-36) — the radix-2 path must
+        hold parity at those shapes too."""
+        t = np.arange(SR) / SR
+        wav = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(SR)).astype(np.float32)[None]
+        got = np.asarray(
+            mel_ops.amplitude_to_db(
+                mel_ops._log_mel_radix2_xla(
+                    jnp.asarray(wav), SR, n_fft, hop, n_mels, "htk", None
+                ),
+                stype="power",
+            )
+        )
+        want = np.asarray(
+            mel_ops.log_mel_spectrogram(
+                jnp.asarray(wav), SR, n_fft, hop, n_mels, use_matmul_dft=False
+            )
+        )
+        assert got.shape == want.shape
+        # the 1e-3 budget is for the production 2048/512 config (covered
+        # above); these sub-second-window configs only feed the sliding
+        # window classifier, where a few 2e-3 outliers (relative ~5e-5 on
+        # high-energy bins) are irrelevant
+        np.testing.assert_allclose(got, want, atol=3e-3)
+
     def test_xla_radix2_odd_nfft_falls_back(self):
         fe = mel_ops.MelFrontend(n_fft=1026, hop_length=342)  # not /4
         assert not fe._use_xla_radix2()
