@@ -246,6 +246,37 @@ class TestBatchLoader:
             total = sum(len(lbl) for _, lbl in loader)
             assert total == len(ds)
 
+    def test_decode_error_propagates(self, tmp_path, rng):
+        """A worker hitting an unreadable file must surface the exception to
+        the consumer, not hang or silently drop the batch."""
+        from audio_classification_icbhi_tpu.data.annotations import SEGMENT_DIR_NAMES
+
+        d = tmp_path / SEGMENT_DIR_NAMES[0]
+        d.mkdir(parents=True)
+        write_wav(d / "ok.wav", (0.1 * rng.standard_normal(8000)).astype(np.float32), 16000)
+        (d / "bad.wav").write_bytes(b"definitely not audio")
+        ds = ICBHISegmentedDataset(
+            tmp_path, "train",
+            {"data": {**CFG["data"], "train_split": 1.0, "val_split": 0.0}},
+        )
+
+        class NoBatch:
+            """Hide load_batch so the loader exercises the per-item path
+            (the native fast path zero-fills bad rows by design)."""
+
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __len__(self):
+                return len(self._inner)
+
+            def __getitem__(self, i):
+                return self._inner[i]
+
+        loader = BatchLoader(NoBatch(ds), batch_size=1, num_threads=2)
+        with pytest.raises(ValueError, match="not a RIFF"):
+            list(loader)
+
     def test_last_partial_batch_kept_without_drop(self, segmented_root):
         ds = ICBHISegmentedDataset(segmented_root, "val", CFG)
         loader = BatchLoader(ds, batch_size=4, drop_last=False)
