@@ -177,6 +177,14 @@ def make_step_fns(
         (batch_stats, grads), (losses, corrects) = jax.lax.scan(
             micro, (batch_stats, zero_grads), (wavs, labels, mb_keys)
         )
+        # Cross-device gradient reduction. Differentiating through the
+        # psum'd loss leaves each device holding n_dev * (its local
+        # contribution) — psum's transpose re-psums the replicated cotangent
+        # (measured: per-device grad_norms differ across devices; psum of
+        # them is exactly n_dev * the true global gradient). pmean therefore
+        # yields the exact replicated global gradient on every device; the
+        # 8-vs-1-device invariance test pins this against plain jax.grad.
+        grads = jax.lax.pmean(grads, axis_name)
         correct = jax.lax.psum(jnp.sum(corrects), axis_name)
         count = jnp.asarray(wavs.shape[0] * local_b * n_dev, jnp.float32)
         return params, batch_stats, grads, losses, correct, count

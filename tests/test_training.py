@@ -331,6 +331,60 @@ class TestShardedTrainStep:
         after = np.asarray(jax.tree_util.tree_leaves(p2)[0])
         np.testing.assert_array_equal(before, after)
 
+    def test_sharded_step_equals_single_device(self, tiny_setup, rng):
+        """Data-parallel invariance: the 8-device sharded step must produce
+        the same updated parameters and loss as a 1-device run on the same
+        global batch (psum-inside-loss makes grads globally exact; BN stats
+        pmean to the global statistics). Uses a dropout-free module —
+        dropout masks intentionally differ per device (keys fold in
+        axis_index), so a model with dropout cannot be layout-invariant."""
+        import flax.linen as nn
+        from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+
+        class TinyNet(nn.Module):
+            """BN-free: cross-replica BatchNorm's stat-path backward is an
+            approximation (flax pmean AD carries only each device's own
+            cotangent), so exact 8-vs-1 equality holds for the DP machinery
+            itself, which this model isolates."""
+
+            @nn.compact
+            def __call__(self, x, *, train: bool = False):
+                x = nn.Conv(8, (3, 3))(x)
+                x = nn.relu(x)
+                x = jnp.mean(x, axis=(1, 2))
+                return nn.Dense(4)(x).astype(jnp.float32)
+
+        _, frontend, _, _, _ = tiny_setup
+        model = TinyNet()
+        dummy = jnp.zeros((2, 32, frontend.num_frames, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+        B, L = 16, frontend.target_length
+        wavs = rng.standard_normal((1, B, L)).astype(np.float32)
+        labels = rng.integers(0, 4, (1, B)).astype(np.int32)
+        cw = np.array([0.5, 2.0, 1.0, 1.5], np.float32)
+
+        def run(n_dev):
+            p = self._copy(variables["params"])
+            bs = self._copy(variables.get("batch_stats", {}))
+            # SGD: adam's sign(g)-scaled first step would amplify f32
+            # reduction-order noise on near-zero grads into full +-lr deltas
+            opt = build_optimizer("sgd", 0.0).init(p)
+            steps = make_step_fns(
+                model, frontend, build_optimizer("sgd", 0.0),
+                get_mesh(num_devices=n_dev), accum_steps=1, augment=False,
+            )
+            p, bs, opt, m = steps.train_step(
+                p, bs, opt, wavs, labels, cw, np.float32(1e-3), jax.random.PRNGKey(0)
+            )
+            return p, float(m["loss"]), float(m["correct"])
+
+        p8, loss8, corr8 = run(8)
+        p1, loss1, corr1 = run(1)
+        assert abs(loss8 - loss1) < 1e-5
+        assert corr8 == corr1
+        for a, b in zip(jax.tree_util.tree_leaves(p8), jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
     def test_batch_stats_synced_across_shards(self, tiny_setup, rng):
         """Cross-replica BN: stats after a step must be identical no matter
         how samples are distributed over devices."""
