@@ -226,7 +226,6 @@ def _log_mel_radix2_xla(
     """
     from audio_classification_icbhi_tpu.ops import stft as stft_ops
 
-    e, o = stft_ops.frame_even_odd(waveform, n_fft, hop_length)
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _radix2_xla_constants(
         sample_rate, n_fft, n_mels, mel_scale, norm
     )
@@ -254,8 +253,15 @@ def _log_mel_radix2_xla(
         # [x_hi | x_lo] on the contraction axis, the matrix carries
         # [[m_hi | m_lo], [m_hi | m_lo]], and the two output halves
         # (x_hi@m_hi + x_lo@m_hi | x_hi@m_lo + x_lo@m_lo) add in f32.
-        e2 = jnp.concatenate(split(e), axis=-1)  # (..., n_fft) bf16
-        o2 = jnp.concatenate(split(o), axis=-1)
+        #
+        # The split happens on the raw WAVEFORM (it commutes exactly with
+        # the framing gather/concat), so the framed tensors only ever exist
+        # in bf16 — half the HBM traffic of framing in f32 then splitting.
+        w_hi, w_lo = split(waveform)
+        e_hi, o_hi = stft_ops.frame_even_odd(w_hi, n_fft, hop_length)
+        e_lo, o_lo = stft_ops.frame_even_odd(w_lo, n_fft, hop_length)
+        e2 = jnp.concatenate([e_hi, e_lo], axis=-1)  # (..., n_fft) bf16
+        o2 = jnp.concatenate([o_hi, o_lo], axis=-1)
         mats = {}
         for name, m in (("ce", ce), ("se", se), ("co", co), ("so", so)):
             hi, lo = _split_bf16_np(m)
@@ -276,6 +282,7 @@ def _log_mel_radix2_xla(
             preferred_element_type=jnp.float32,
         )
     else:
+        e, o = stft_ops.frame_even_odd(waveform, n_fft, hop_length)
         dot = functools.partial(
             jnp.matmul, precision=precision, preferred_element_type=jnp.float32
         )
