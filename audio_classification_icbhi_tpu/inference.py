@@ -37,14 +37,7 @@ class ClassifierEngine:
         self.config: dict[str, Any] = ckpt["config"]
         self.class_names: list[str] = list(self.config["classes"])
         self.batch_size = batch_size
-        dcfg = self.config["data"]
-        self.frontend = MelFrontend(
-            sample_rate=dcfg["sample_rate"],
-            n_mels=dcfg["n_mels"],
-            n_fft=dcfg["n_fft"],
-            hop_length=dcfg["hop_length"],
-            duration=dcfg["duration"],
-        )
+        self.frontend = MelFrontend.from_config(self.config)
         self.model = build_model(self.config)
         # bind restored state onto a template of the right pytree structure
         # (template init on CPU: eager init is slow through the TPU tunnel)
@@ -52,7 +45,7 @@ class ClassifierEngine:
 
         template = init_variables(
             self.model, jax.random.PRNGKey(0),
-            (1, dcfg["n_mels"], self.frontend.num_frames, 1),
+            (1, self.frontend.n_mels, self.frontend.num_frames, 1),
         )
         self.params = serialization.from_state_dict(template["params"], ckpt["params"])
         self.batch_stats = serialization.from_state_dict(

@@ -21,7 +21,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 # torch kaiming_normal_ is an untruncated normal; use normal for exact-law parity.
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_init = nn.initializers.normal(stddev=0.01)

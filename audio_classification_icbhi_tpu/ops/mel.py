@@ -172,14 +172,15 @@ def power_to_db(
 
 @functools.lru_cache(maxsize=16)
 def _radix2_xla_constants(
-    sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm
+    sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
+    f_min: float = 0.0, f_max: float | None = None,
 ):
-    """Radix-2 DIT constants for the XLA path: windowed even/odd 1024-point
-    DFT matrices, twiddle vectors, and the mel filterbank split into a
-    lower-half part and an UPPER-HALF part pre-permuted to j-order
-    (fb_hi[j] = fb[n_fft/2 - j], Nyquist at j=0), which folds the conjugate
-    symmetry so no bin reversal is needed. Same derivation as the Pallas
-    radix-2 kernel (ops/pallas_mel.py), validated exact vs rfft."""
+    """Radix-2 DIT constants for the XLA path: windowed even/odd
+    (n_fft/2)-point DFT matrices, twiddle vectors, and the mel filterbank
+    split into a lower-half part and an UPPER-HALF part pre-permuted to
+    j-order (fb_hi[j] = fb[n_fft/2 - j], Nyquist at j=0), which folds the
+    conjugate symmetry so no bin reversal is needed. Same derivation as the
+    Pallas radix-2 kernel (ops/pallas_mel.py), validated exact vs rfft."""
     h = n_fft // 2
     nb = h // 2 + 1
     m = np.arange(h)
@@ -193,13 +194,15 @@ def _radix2_xla_constants(
     so = (w[1::2][:, None] * np.sin(ang)).astype(np.float32)
     cj = np.cos(np.pi * np.arange(nb) / h).astype(np.float32)
     sj = np.sin(np.pi * np.arange(nb) / h).astype(np.float32)
+    if f_max is None:
+        f_max = sample_rate / 2.0
     fb = _mel_filterbank_np(
-        sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0, mel_scale, norm
+        sample_rate, n_fft, n_mels, float(f_min), float(f_max), mel_scale, norm
     ).astype(np.float64)
     fb_lo = fb[:nb].astype(np.float32)
     fb_hi = np.zeros_like(fb_lo)
     for j in range(0, nb - 1):
-        fb_hi[j] = fb[h - j]  # bins 1024 (Nyquist) .. 513; fb_hi[512] stays 0
+        fb_hi[j] = fb[h - j]  # bins n_fft/2 (Nyquist) .. nb+1; fb_hi[nb-1] stays 0
     return ce, se, co, so, cj, sj, fb_lo, fb_hi
 
 
@@ -213,7 +216,7 @@ def _split_bf16_np(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _log_mel_radix2_xla(
     waveform, sample_rate, n_fft, hop_length, n_mels, mel_scale, norm,
-    precision="bf16x4",
+    precision="bf16x4", f_min=0.0, f_max=None,
 ):
     """waveform (..., L) -> un-dB mel (..., n_mels, T) via the radix-2
     decomposition in plain XLA: half the DFT FLOPs of the direct matmul-DFT
@@ -227,7 +230,8 @@ def _log_mel_radix2_xla(
     from audio_classification_icbhi_tpu.ops import stft as stft_ops
 
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _radix2_xla_constants(
-        sample_rate, n_fft, n_mels, mel_scale, norm
+        sample_rate, n_fft, n_mels, mel_scale, norm, float(f_min),
+        None if f_max is None else float(f_max),
     )
     cj, sj, fb_lo, fb_hi = (jnp.asarray(x) for x in (cj, sj, fb_lo, fb_hi))
     if precision == "bf16x4":
@@ -370,6 +374,9 @@ class MelFrontend:
         hop_length: int = 512,
         duration: float = 5.0,
         *,
+        f_min: float = 0.0,
+        f_max: float | None = None,
+        top_db: float | None = None,
         mel_scale: str = "htk",
         norm: str | None = None,
         use_matmul_dft: bool = True,
@@ -382,11 +389,35 @@ class MelFrontend:
         self.hop_length = hop_length
         self.duration = duration
         self.target_length = int(sample_rate * duration)
+        # torchaudio MelSpectrogram surface (reference preprocessing.py:38-44
+        # uses the defaults f_min=0, f_max=sr/2, no top_db clipping)
+        self.f_min = float(f_min)
+        self.f_max = None if f_max is None else float(f_max)
+        self.top_db = None if top_db is None else float(top_db)
         self.mel_scale = mel_scale
         self.norm = norm
         self.use_matmul_dft = use_matmul_dft
         self.normalize = normalize
         self.backend = backend
+
+    @classmethod
+    def from_config(cls, config: dict, **overrides) -> "MelFrontend":
+        """Build from a config dict's data section (full config or the
+        section itself). Optional keys f_min/f_max/top_db extend the
+        reference schema with torchaudio MelSpectrogram's full surface."""
+        dcfg = config.get("data", config)
+        kwargs = dict(
+            sample_rate=dcfg["sample_rate"],
+            n_mels=dcfg["n_mels"],
+            n_fft=dcfg["n_fft"],
+            hop_length=dcfg["hop_length"],
+            duration=dcfg["duration"],
+            f_min=dcfg.get("f_min", 0.0),
+            f_max=dcfg.get("f_max"),
+            top_db=dcfg.get("top_db"),
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
 
     def _use_pallas(self) -> bool:
         """Backend choice. Measured on v5e: the fused Pallas kernels win
@@ -420,6 +451,9 @@ class MelFrontend:
                 self.n_fft,
                 self.hop_length,
                 self.n_mels,
+                f_min=self.f_min,
+                f_max=self.f_max,
+                top_db=self.top_db,
                 mel_scale=self.mel_scale,
                 norm=self.norm,
             )
@@ -427,14 +461,18 @@ class MelFrontend:
             mel = _log_mel_radix2_xla(
                 waveform, self.sample_rate, self.n_fft, self.hop_length,
                 self.n_mels, self.mel_scale, self.norm,
+                f_min=self.f_min, f_max=self.f_max,
             )
-            return amplitude_to_db(mel, stype="power")
+            return amplitude_to_db(mel, stype="power", top_db=self.top_db)
         return log_mel_spectrogram(
             waveform,
             self.sample_rate,
             self.n_fft,
             self.hop_length,
             self.n_mels,
+            f_min=self.f_min,
+            f_max=self.f_max,
+            top_db=self.top_db,
             mel_scale=self.mel_scale,
             norm=self.norm,
             use_matmul_dft=self.use_matmul_dft,
@@ -464,7 +502,8 @@ class MelFrontend:
     def _key(self):
         return (
             self.sample_rate, self.n_mels, self.n_fft, self.hop_length,
-            self.target_length, self.mel_scale, self.norm,
+            self.target_length, self.f_min, self.f_max, self.top_db,
+            self.mel_scale, self.norm,
             self.use_matmul_dft, self.normalize, self.backend,
         )
 

@@ -40,12 +40,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=8)
-def _constants(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
+def _constants(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
+               f_min: float = 0.0, f_max: float | None = None):
     """(windowed cos, windowed sin, mel fb) padded to lane multiples."""
     wc, ws = stft_ops._windowed_dft_np(n_fft)
     fb = np.asarray(
-        mel_ops._mel_filterbank_np(sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0,
-                                   mel_scale, norm)
+        mel_ops._mel_filterbank_np(
+            sample_rate, n_fft, n_mels, float(f_min),
+            sample_rate / 2.0 if f_max is None else float(f_max),
+            mel_scale, norm)
     )
     n_bins = n_fft // 2 + 1
     f_pad = _round_up(n_bins, 128)
@@ -69,13 +72,15 @@ def _split_bf16(x: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _constants_bf16x3(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
-    wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm)
+def _constants_bf16x3(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
+                      f_min: float = 0.0, f_max: float | None = None):
+    wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max)
     return _split_bf16(wc), _split_bf16(ws), fb
 
 
 @functools.lru_cache(maxsize=8)
-def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm):
+def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
+                      f_min: float = 0.0, f_max: float | None = None):
     """Radix-2 decimation-in-time constants.
 
     The 2048-point windowed rDFT splits into two 1024-point DFTs over the
@@ -107,8 +112,10 @@ def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
     so = (w[1::2][:, None] * np.sin(ang)).astype(np.float32)
 
     fb = np.asarray(
-        mel_ops._mel_filterbank_np(sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0,
-                                   mel_scale, norm)
+        mel_ops._mel_filterbank_np(
+            sample_rate, n_fft, n_mels, float(f_min),
+            sample_rate / 2.0 if f_max is None else float(f_max),
+            mel_scale, norm)
     ).astype(np.float64)
     # Explicit re/im reconstruction per half avoids the catastrophic
     # cancellation a fully-folded (A,B,D) form suffers on near-empty bins:
@@ -259,7 +266,8 @@ def _kernel_radix2(e_ref, o_ref, ce_ref, se_ref, co_ref, so_ref,
 
 
 def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
-                    mel_scale, norm, tile_r: int, interpret: bool):
+                    mel_scale, norm, tile_r: int, interpret: bool,
+                    f_min: float = 0.0, f_max: float | None = None):
     b, length = waveform.shape
     t = stft_ops.num_frames(length, n_fft, hop_length)
     frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)
@@ -275,7 +283,7 @@ def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
     o = pairs[:, :, 1]
 
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _constants_radix2(
-        sample_rate, n_fft, n_mels, mel_scale, norm
+        sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
     )
     h = n_fft // 2
     nb_pad = ce.shape[2]
@@ -311,6 +319,9 @@ def log_mel_pallas(
     hop_length: int,
     n_mels: int,
     *,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+    top_db: float | None = None,
     mel_scale: str = "htk",
     norm: str | None = None,
     algorithm: str = "radix2",  # "radix2" | "bf16x3" | "f32"
@@ -322,21 +333,32 @@ def log_mel_pallas(
 
     Semantics identical to ops.mel.log_mel_spectrogram(..., to_db="amplitude",
     use_matmul_dft=True) (torchaudio MelSpectrogram + AmplitudeToDB chain,
-    reference preprocessing.py:38-47).
+    reference preprocessing.py:38-47). top_db clips per example against its
+    global dB peak, so it applies after the tiled kernel (a block never sees
+    the whole example); XLA fuses the clip into the kernel's consumer.
     """
     if waveform.ndim == 1:
         return log_mel_pallas(
             waveform[None], sample_rate, n_fft, hop_length, n_mels,
+            f_min=f_min, f_max=f_max, top_db=top_db,
             mel_scale=mel_scale, norm=norm, algorithm=algorithm,
             tile_t=tile_t, f_tile=f_tile, interpret=interpret,
         )[0]
+
+    def clip_top_db(db):
+        if top_db is None:
+            return db
+        peak = jnp.max(db, axis=(-2, -1), keepdims=True)
+        return jnp.maximum(db, peak - top_db)
+
     if algorithm == "radix2":
         if n_fft % 4:
             raise ValueError("radix2 requires n_fft divisible by 4")
-        return _log_mel_radix2(
+        return clip_top_db(_log_mel_radix2(
             waveform, sample_rate, n_fft, hop_length, n_mels,
             mel_scale, norm, tile_r=128, interpret=interpret,
-        )
+            f_min=f_min, f_max=f_max,
+        ))
     b, length = waveform.shape
     t = stft_ops.num_frames(length, n_fft, hop_length)
     frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)
@@ -345,14 +367,16 @@ def log_mel_pallas(
         frames = jnp.pad(frames, ((0, 0), (0, t_pad - t), (0, 0)))
 
     if algorithm == "bf16x3":
-        wc, ws, fb = _constants_bf16x3(sample_rate, n_fft, n_mels, mel_scale, norm)
+        wc, ws, fb = _constants_bf16x3(sample_rate, n_fft, n_mels, mel_scale, norm,
+                                       f_min, f_max)
         kernel = _kernel_bf16x3
         f_pad = wc.shape[2]
         dft_spec = lambda ft: pl.BlockSpec(  # noqa: E731
             (2, n_fft, ft), lambda bi, ti, fi: (0, 0, fi), memory_space=pltpu.VMEM
         )
     elif algorithm == "f32":
-        wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm)
+        wc, ws, fb = _constants(sample_rate, n_fft, n_mels, mel_scale, norm,
+                                f_min, f_max)
         kernel = _kernel_f32
         f_pad = wc.shape[1]
         dft_spec = lambda ft: pl.BlockSpec(  # noqa: E731
@@ -386,4 +410,4 @@ def log_mel_pallas(
         interpret=interpret,
     )(frames, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(fb))
     # crop padding, transpose to torchaudio layout (B, n_mels, T)
-    return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)
+    return clip_top_db(jnp.swapaxes(out[:, :t, :n_mels], 1, 2))

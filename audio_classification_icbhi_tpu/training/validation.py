@@ -30,14 +30,7 @@ class Validator:
         if self.batch_size % n_dev:
             # round batch up to a mesh multiple; padding+mask covers the rest
             self.batch_size = ((self.batch_size + n_dev - 1) // n_dev) * n_dev
-        dcfg = config["data"]
-        self.frontend = MelFrontend(
-            sample_rate=dcfg["sample_rate"],
-            n_mels=dcfg["n_mels"],
-            n_fft=dcfg["n_fft"],
-            hop_length=dcfg["hop_length"],
-            duration=dcfg["duration"],
-        )
+        self.frontend = MelFrontend.from_config(config)
         # eval-only: optimizer is irrelevant but make_step_fns builds both
         self.steps = make_step_fns(
             model, self.frontend, build_optimizer("adam"), self.mesh

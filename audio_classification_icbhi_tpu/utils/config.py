@@ -83,16 +83,6 @@ def set_seed(seed: int = 42) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def get_mesh(axis_name: str = "data", num_devices: int | None = None) -> jax.sharding.Mesh:
-    """1-D device mesh over all local devices (TPU analog of reference
-    get_device, src/utils/config.py:40-57). Data parallelism shards the
-    batch over `axis_name`; collectives ride ICI."""
-    devices = jax.devices()
-    if num_devices is not None:
-        devices = devices[:num_devices]
-    return jax.sharding.Mesh(np.array(devices), (axis_name,))
-
-
 def describe_devices() -> str:
     devs = jax.devices()
     return f"{len(devs)}x {devs[0].platform}:{getattr(devs[0], 'device_kind', '?')}"

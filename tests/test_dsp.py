@@ -32,7 +32,7 @@ def np_stft_power(x, n_fft, hop, center=True):
     return (np.abs(spec) ** 2).T  # (n_bins, T)
 
 
-def np_mel_fb_htk(sr, n_fft, n_mels):
+def np_mel_fb_htk(sr, n_fft, n_mels, f_min=0.0, f_max=None):
     """Textbook HTK-scale unnormalized triangular filterbank (torchaudio default)."""
     def h2m(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
@@ -40,9 +40,11 @@ def np_mel_fb_htk(sr, n_fft, n_mels):
     def m2h(m):
         return 700.0 * (10 ** (m / 2595.0) - 1.0)
 
+    if f_max is None:
+        f_max = sr / 2
     n_freqs = n_fft // 2 + 1
     freqs = np.linspace(0, sr / 2, n_freqs)
-    pts = m2h(np.linspace(h2m(0.0), h2m(sr / 2), n_mels + 2))
+    pts = m2h(np.linspace(h2m(f_min), h2m(f_max), n_mels + 2))
     fb = np.zeros((n_freqs, n_mels))
     for m in range(n_mels):
         lo, cen, hi = pts[m], pts[m + 1], pts[m + 2]
@@ -243,6 +245,53 @@ class TestLogMelEndToEnd:
         cropped = fe.pad_or_crop(long)
         assert cropped.shape == (1, 16000)
         assert float(cropped[0, 0]) == 8000.0  # center crop
+
+    def test_f_min_f_max_golden_all_backends(self, rng):
+        """torchaudio MelSpectrogram's f_min/f_max surface (reference
+        preprocessing.py:38-44 leaves them default; VERDICT r1 missing #4):
+        non-default values must hold the same <=1e-3 parity on every
+        backend, including the radix-2 constants path which previously
+        hardcoded f_min=0, f_max=sr/2."""
+        x = make_signal(rng, length=SR * 2)
+        power = np_stft_power(np.asarray(x, np.float64), N_FFT, HOP)
+        mel = np_mel_fb_htk(SR, N_FFT, N_MELS, f_min=50.0, f_max=4000.0).T @ power
+        want = 10 * np.log10(np.maximum(mel, 1e-10))
+
+        for backend in ("xla", "auto"):  # auto -> radix-2 (n_fft % 4 == 0)
+            fe = mel_ops.MelFrontend(
+                duration=2.0, f_min=50.0, f_max=4000.0,
+                normalize=False, backend=backend,
+            )
+            got = np.asarray(fe.log_mel(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4,
+                                       err_msg=f"backend={backend}")
+
+        from audio_classification_icbhi_tpu.ops import pallas_mel
+
+        got = np.asarray(pallas_mel.log_mel_pallas(
+            jnp.asarray(x), SR, N_FFT, HOP, N_MELS,
+            f_min=50.0, f_max=4000.0, interpret=True,
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4,
+                                   err_msg="backend=pallas")
+
+    def test_top_db_clips_per_example(self, rng):
+        x = jnp.asarray(np.stack([make_signal(rng, SR), make_signal(rng, SR) * 1e-3]))
+        fe = mel_ops.MelFrontend(duration=1.0, top_db=30.0, normalize=False)
+        db = np.asarray(fe.log_mel(x))
+        for i in range(2):
+            rng_db = db[i].max() - db[i].min()
+            assert rng_db <= 30.0 + 1e-5
+
+    def test_from_config_plumbs_params(self):
+        cfg = {"data": {"sample_rate": SR, "n_mels": N_MELS, "n_fft": N_FFT,
+                        "hop_length": HOP, "duration": 1.0,
+                        "f_min": 25.0, "f_max": 6000.0, "top_db": 60.0}}
+        fe = mel_ops.MelFrontend.from_config(cfg)
+        assert (fe.f_min, fe.f_max, fe.top_db) == (25.0, 6000.0, 60.0)
+        # hash distinguishes parameterizations (jit static-arg correctness)
+        fe2 = mel_ops.MelFrontend.from_config(cfg, f_min=0.0)
+        assert fe != fe2
 
     def test_no_tracer_leak_from_constant_caches(self, rng):
         """Regression: DFT-matrix cache must not capture tracers — first use
