@@ -31,25 +31,33 @@ def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    *,
+    auto: bool = False,
 ) -> int:
     """Multi-host initialization (SPMD over DCN across hosts + ICI within).
 
-    On a TPU pod slice, call once per host before get_mesh(); with no
-    arguments jax.distributed.initialize autodetects the TPU environment.
-    Returns the process index. Single-process environments are a no-op.
+    On a TPU pod slice, call once per host before get_mesh(). Three modes:
+    - auto=True, no arguments: jax.distributed.initialize() autodetects the
+      TPU pod environment (coordinator, process count, process id).
+    - explicit coordinator_address/num_processes/process_id: manual
+      bring-up (also how tests start a 1-process coordinator).
+    - neither: single-process no-op; returns this process's index.
     The reference has no distributed backend at all (SURVEY.md §2.3); this
     is the TPU-native replacement for what NCCL/MPI init would have been.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
+    if coordinator_address is None and num_processes in (None, 1) and not auto:
         try:
             return jax.process_index()
         except Exception:
             return 0
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if coordinator_address is None and num_processes is None:
+        jax.distributed.initialize()  # pod-slice autodetection
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     return jax.process_index()
 
 
