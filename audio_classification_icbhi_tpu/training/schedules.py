@@ -30,6 +30,12 @@ class CosineAnnealingLR:
     def step(self, metric: float | None = None) -> None:
         self._epoch += 1
 
+    def state_dict(self) -> dict:
+        return {"epoch": self._epoch}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
+
 
 class StepLR:
     """torch StepLR(step_size=30, gamma=0.1) (reference trainer_fixed.py:87-90)."""
@@ -46,6 +52,12 @@ class StepLR:
 
     def step(self, metric: float | None = None) -> None:
         self._epoch += 1
+
+    def state_dict(self) -> dict:
+        return {"epoch": self._epoch}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
 
 
 class ReduceLROnPlateau:
@@ -89,6 +101,20 @@ class ReduceLROnPlateau:
                 self._lr = max(self._lr * self.factor, self.min_lr)
                 self.bad_epochs = 0
 
+    def state_dict(self) -> dict:
+        # msgpack has no None: encode "no best yet" as NaN
+        return {
+            "lr": float(self._lr),
+            "best": float("nan") if self.best is None else float(self.best),
+            "bad_epochs": int(self.bad_epochs),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self._lr = float(state["lr"])
+        best = float(state["best"])
+        self.best = None if math.isnan(best) else best
+        self.bad_epochs = int(state["bad_epochs"])
+
 
 class ConstantLR:
     def __init__(self, base_lr: float):
@@ -99,6 +125,12 @@ class ConstantLR:
         return self._lr
 
     def step(self, metric: float | None = None) -> None:
+        pass
+
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, state: dict) -> None:
         pass
 
 

@@ -34,7 +34,7 @@ import numpy as np
 from audio_classification_icbhi_tpu.data.loader import BatchLoader
 from audio_classification_icbhi_tpu.ops.mel import MelFrontend
 from audio_classification_icbhi_tpu.parallel.data_parallel import make_step_fns
-from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS, get_mesh
 from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
 from audio_classification_icbhi_tpu.training.schedules import build_scheduler
 from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -46,6 +46,9 @@ class Trainer:
     (reference trainer_fixed.py:288-294)."""
 
     plateau_mode = "min"
+    # subclasses that score on predictions set this so validate() keeps the
+    # per-batch logits from its single pass (no second loader iteration)
+    collect_predictions = False
 
     def __init__(self, model, train_dataset, val_dataset, config: dict[str, Any], mesh=None):
         self.model = model
@@ -63,6 +66,14 @@ class Trainer:
         self.save_every = tcfg.get("save_every", 5)
 
         n_dev = self.mesh.devices.size
+        model_axis = getattr(model, "axis_name", None)
+        if n_dev > 1 and model_axis != DATA_AXIS:
+            raise ValueError(
+                f"model.axis_name={model_axis!r} but training is data-parallel "
+                f"over a {n_dev}-device {DATA_AXIS!r} mesh: BatchNorm statistics "
+                "would silently diverge per device. Build the model with "
+                f"build_model(config, axis_name={DATA_AXIS!r})."
+            )
         if self.batch_size % n_dev:
             raise ValueError(
                 f"batch_size {self.batch_size} must be divisible by the "
@@ -70,13 +81,7 @@ class Trainer:
             )
 
         dcfg = config["data"]
-        self.frontend = MelFrontend(
-            sample_rate=dcfg["sample_rate"],
-            n_mels=dcfg["n_mels"],
-            n_fft=dcfg["n_fft"],
-            hop_length=dcfg["hop_length"],
-            duration=dcfg["duration"],
-        )
+        self.frontend = MelFrontend.from_config(config)
 
         self.class_weights = self._calculate_class_weights()
 
@@ -123,6 +128,7 @@ class Trainer:
         self.writer = SummaryWriter(log_dir=tcfg.get("log_dir", "runs"))
 
         self.history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
+        self.val_predictions = (np.zeros(0, np.int64), np.zeros(0, np.int64))
         self.best_val_loss = float("inf")
         self.patience_counter = 0
         self.start_epoch = 0
@@ -209,7 +215,12 @@ class Trainer:
             yield wavs, labels, mask, b
 
     def validate(self, epoch: int) -> tuple[float, float]:
+        """One pass over the val loader. When collect_predictions is set the
+        same pass also records (y_true, y_pred) in self.val_predictions, so
+        subclasses that score on predictions (ICBHI) never re-iterate the
+        loader (reference re-ran validation twice; advisor r1)."""
         sums, total = [], 0.0
+        kept_logits, kept_labels = [], []
         for wavs, labels, mask, b in self._eval_batches(self.val_loader):
             logits, num, den, corr = self.steps.eval_step(
                 self.params, self.batch_stats, wavs, labels, mask, self.class_weights
@@ -217,6 +228,15 @@ class Trainer:
             jax.block_until_ready(num)  # shallow queue; reads deferred (see train_epoch)
             sums.append((num, den, corr))
             total += b
+            if self.collect_predictions:
+                kept_logits.append((logits, b))  # stays on device until the end
+                kept_labels.append(labels[:b])
+        if self.collect_predictions:
+            y_pred = [np.argmax(np.asarray(lg), axis=-1)[:b] for lg, b in kept_logits]
+            self.val_predictions = (
+                np.concatenate(kept_labels) if kept_labels else np.zeros(0, np.int64),
+                np.concatenate(y_pred) if y_pred else np.zeros(0, np.int64),
+            )
         if not sums:
             return 0.0, 0.0
         stacked = np.asarray(jnp.stack([jnp.stack(s) for s in sums]))  # (N, 3)
@@ -334,13 +354,31 @@ class Trainer:
             "val_loss": float(val_loss),
             "config": self.config,
             "class_weights": np.asarray(self.class_weights),
+            # trainer-loop state for exact resume: a replayed plateau
+            # scheduler resets bad_epochs each epoch, and resuming from a
+            # periodic (non-best) checkpoint must not lower the best bar
+            "scheduler": self.scheduler.state_dict(),
+            "best_metric": float(self._best_metric()),
+            "patience_counter": int(self.patience_counter),
         }
+
+    def _best_metric(self) -> float:
+        return self.best_val_loss
+
+    def _restore_best_metric(self, value: float, ckpt: dict) -> None:
+        self.best_val_loss = value
 
     def save_checkpoint(self, path, epoch: int, val_loss: float, extra: dict | None = None):
         save_checkpoint(path, self._checkpoint_payload(epoch, val_loss, extra or {}))
 
     def restore(self, path) -> None:
-        """Resume from a checkpoint (capability the reference lacks)."""
+        """Resume from a checkpoint (capability the reference lacks).
+
+        Resume is exact: scheduler state, the best-metric bar, and the
+        early-stopping patience counter are restored verbatim, so a resumed
+        run matches an uninterrupted one epoch for epoch (tested). Legacy
+        checkpoints without that state fall back to replaying the scheduler.
+        """
         ckpt = load_checkpoint(path)
         # restore into existing pytree structure (msgpack returns plain dicts)
         from flax import serialization
@@ -349,7 +387,19 @@ class Trainer:
         self.batch_stats = serialization.from_state_dict(self.batch_stats, ckpt["batch_stats"])
         self.opt_state = serialization.from_state_dict(self.opt_state, ckpt["opt_state"])
         self.start_epoch = int(ckpt["epoch"]) + 1
-        self.best_val_loss = float(ckpt.get("val_loss", float("inf")))
-        for _ in range(self.start_epoch):
-            self.scheduler.step(self.best_val_loss)
+
+        if "best_metric" in ckpt:
+            self._restore_best_metric(float(ckpt["best_metric"]), ckpt)
+        else:  # legacy checkpoint: the old (bar-lowering) approximation
+            self._restore_best_metric(self._legacy_best_metric(ckpt), ckpt)
+        self.patience_counter = int(ckpt.get("patience_counter", 0))
+
+        if "scheduler" in ckpt:
+            self.scheduler.load_state_dict(ckpt["scheduler"])
+        else:  # legacy: replay with the selection metric, not raw val_loss
+            for _ in range(self.start_epoch):
+                self.scheduler.step(self._best_metric())
         print(f"Resumed from {path} at epoch {self.start_epoch}")
+
+    def _legacy_best_metric(self, ckpt: dict) -> float:
+        return float(ckpt.get("val_loss", float("inf")))

@@ -19,6 +19,7 @@ from audio_classification_icbhi_tpu.utils.icbhi_metrics import calculate_icbhi_s
 
 class TrainerWithICBHI(Trainer):
     plateau_mode = "max"
+    collect_predictions = True  # validate() keeps (y_true, y_pred) for us
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -27,15 +28,10 @@ class TrainerWithICBHI(Trainer):
         self._last_icbhi: dict = {}
 
     def _epoch_metrics(self, epoch: int) -> dict[str, float]:
-        y_true, y_pred = [], []
-        for wavs, labels, mask, b in self._eval_batches(self.val_loader):
-            logits, _, _, _ = self.steps.eval_step(
-                self.params, self.batch_stats, wavs, labels, mask, self.class_weights
-            )
-            preds = np.argmax(np.asarray(logits), axis=-1)[:b]
-            y_pred.extend(preds.tolist())
-            y_true.extend(labels[:b].tolist())
-        self._last_icbhi = calculate_icbhi_score(np.array(y_true), np.array(y_pred))
+        # predictions come from validate()'s single pass over the val loader
+        # (the reference ran validation twice per epoch, trainer_icbhi.py:190+)
+        y_true, y_pred = self.val_predictions
+        self._last_icbhi = calculate_icbhi_score(np.asarray(y_true), np.asarray(y_pred))
         return {
             "ICBHI/score": self._last_icbhi["icbhi_score"],
             "ICBHI/sensitivity": self._last_icbhi["avg_sensitivity"],
@@ -68,3 +64,16 @@ class TrainerWithICBHI(Trainer):
                 "avg_specificity": float(extra["ICBHI/specificity"]),
             }
         return payload
+
+    # exact-resume hooks: the selection bar here is the ICBHI score, not
+    # val_loss (advisor r1: best_icbhi_score stayed -inf after resume, so
+    # the first post-resume epoch always clobbered best_model.ckpt)
+    def _best_metric(self) -> float:
+        return self.best_icbhi_score
+
+    def _restore_best_metric(self, value: float, ckpt: dict) -> None:
+        self.best_icbhi_score = value
+        self.best_val_loss = float(ckpt.get("val_loss", float("inf")))
+
+    def _legacy_best_metric(self, ckpt: dict) -> float:
+        return float(ckpt.get("icbhi_score", -float("inf")))

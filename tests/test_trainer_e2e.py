@@ -67,7 +67,7 @@ class TestTrainerEndToEnd:
     def test_train_checkpoints_events_history(self, seg_data, tmp_path):
         config = tiny_config(tmp_path)
         train, val = make_datasets(seg_data, config)
-        model = build_model(config)
+        model = build_model(config, axis_name="data")
         trainer = Trainer(model, train, val, config)
         history = trainer.train()
 
@@ -96,11 +96,11 @@ class TestTrainerEndToEnd:
     def test_resume_from_checkpoint(self, seg_data, tmp_path):
         config = tiny_config(tmp_path, epochs=2)
         train, val = make_datasets(seg_data, config)
-        trainer = Trainer(build_model(config), train, val, config)
+        trainer = Trainer(build_model(config, axis_name="data"), train, val, config)
         trainer.train()
 
         config4 = tiny_config(tmp_path, epochs=4)
-        trainer2 = Trainer(build_model(config4), train, val, config4)
+        trainer2 = Trainer(build_model(config4, axis_name="data"), train, val, config4)
         history = trainer2.train(resume_from=str(tmp_path / "ckpts" / "checkpoint_epoch_2.ckpt"))
         assert trainer2.start_epoch == 2
         assert len(history["train_loss"]) == 2  # epochs 3 and 4 only
@@ -108,7 +108,7 @@ class TestTrainerEndToEnd:
     def test_icbhi_trainer_selects_on_score(self, seg_data, tmp_path):
         config = tiny_config(tmp_path)
         train, val = make_datasets(seg_data, config)
-        trainer = TrainerWithICBHI(build_model(config), train, val, config)
+        trainer = TrainerWithICBHI(build_model(config, axis_name="data"), train, val, config)
         history = trainer.train()
         assert len(history["icbhi_score"]) == 2
         assert all(0.0 <= s <= 1.0 for s in history["icbhi_score"])
@@ -121,7 +121,7 @@ class TestTrainerEndToEnd:
     def test_legacy_trainer_uniform_weights(self, seg_data, tmp_path):
         config = tiny_config(tmp_path, epochs=1)
         train, val = make_datasets(seg_data, config)
-        trainer = LegacyTrainer(build_model(config), train, val, config)
+        trainer = LegacyTrainer(build_model(config, axis_name="data"), train, val, config)
         np.testing.assert_array_equal(trainer.class_weights, np.ones(4, np.float32))
         history = trainer.train()
         assert np.isfinite(history["train_loss"][0])
@@ -135,7 +135,7 @@ class TestTrainerEndToEnd:
         config = tiny_config(tmp_path, epochs=1)
         config["training"]["gradient_accumulation_steps"] = 16  # >> n_batches
         train, val = make_datasets(seg_data, config)
-        trainer = Trainer(build_model(config), train, val, config)
+        trainer = Trainer(build_model(config, axis_name="data"), train, val, config)
         before = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).copy()
         history = trainer.train()
         assert history["train_loss"][0] > 0.5  # real loss, not the empty-epoch 0.0
@@ -147,4 +147,70 @@ class TestTrainerEndToEnd:
         config["training"]["batch_size"] = 6  # not divisible by 8 devices
         train, val = make_datasets(seg_data, config)
         with pytest.raises(ValueError, match="divisible"):
+            Trainer(build_model(config, axis_name="data"), train, val, config)
+
+    def test_plateau_resume_equals_uninterrupted(self, seg_data, tmp_path):
+        """Exact resume: scheduler state + best bar + patience live in the
+        checkpoint, so a 2+2-epoch resumed run reproduces a 4-epoch run
+        (VERDICT r1 weak #6: replaying plateau steps reset bad_epochs)."""
+        cfg_a = tiny_config(tmp_path / "a", epochs=4)
+        cfg_a["training"]["scheduler"] = "plateau"
+        train, val = make_datasets(seg_data, cfg_a)
+        t_full = Trainer(build_model(cfg_a, axis_name="data"), train, val, cfg_a)
+        hist_full = t_full.train()
+
+        cfg_b = tiny_config(tmp_path / "b", epochs=2)
+        cfg_b["training"]["scheduler"] = "plateau"
+        t_half = Trainer(build_model(cfg_b, axis_name="data"), train, val, cfg_b)
+        t_half.train()
+
+        cfg_c = tiny_config(tmp_path / "b", epochs=4)
+        cfg_c["training"]["scheduler"] = "plateau"
+        t_resumed = Trainer(build_model(cfg_c, axis_name="data"), train, val, cfg_c)
+        hist_res = t_resumed.train(
+            resume_from=str(tmp_path / "b" / "ckpts" / "checkpoint_epoch_2.ckpt")
+        )
+
+        np.testing.assert_allclose(
+            hist_res["train_loss"], hist_full["train_loss"][2:], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            hist_res["val_loss"], hist_full["val_loss"][2:], rtol=1e-5
+        )
+        assert t_resumed.scheduler.state_dict() == t_full.scheduler.state_dict()
+        assert t_resumed.best_val_loss == pytest.approx(t_full.best_val_loss, rel=1e-5)
+        assert t_resumed.patience_counter == t_full.patience_counter
+
+    def test_icbhi_validation_single_pass_and_resume_bar(self, seg_data, tmp_path):
+        """ICBHI trainer: (a) the val loader is iterated ONCE per epoch
+        (reference ran it twice), (b) resume restores best_icbhi_score so a
+        worse post-resume epoch cannot clobber best_model.ckpt."""
+        config = tiny_config(tmp_path, epochs=2)
+        train, val = make_datasets(seg_data, config)
+        trainer = TrainerWithICBHI(build_model(config, axis_name="data"), train, val, config)
+
+        eval_calls = []
+        orig_eval = trainer.steps.eval_step
+
+        def counting_eval(*a, **k):
+            eval_calls.append(1)
+            return orig_eval(*a, **k)
+
+        trainer.steps = trainer.steps._replace(eval_step=counting_eval)
+        trainer.train()
+        n_val_batches = -(-len(val) // config["training"]["batch_size"])
+        assert len(eval_calls) == 2 * n_val_batches  # 2 epochs x ONE pass each
+
+        trainer2 = TrainerWithICBHI(build_model(config, axis_name="data"), train, val, config)
+        trainer2.restore(str(tmp_path / "ckpts" / "checkpoint_epoch_2.ckpt"))
+        assert trainer2.best_icbhi_score == pytest.approx(trainer.best_icbhi_score)
+        assert np.isfinite(trainer2.best_icbhi_score)
+
+    def test_unsynced_bn_model_rejected_on_multidevice_mesh(self, seg_data, tmp_path):
+        """Regression (advisor r1, medium): a model built without
+        axis_name on a multi-device mesh silently diverges its BatchNorm
+        stats per device; the Trainer must refuse it up front."""
+        config = tiny_config(tmp_path)
+        train, val = make_datasets(seg_data, config)
+        with pytest.raises(ValueError, match="axis_name"):
             Trainer(build_model(config), train, val, config)

@@ -10,7 +10,7 @@ import argparse
 
 from audio_classification_icbhi_tpu.data.dataset import ICBHIDataset
 from audio_classification_icbhi_tpu.models import build_model
-from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS, get_mesh
 from audio_classification_icbhi_tpu.training.trainer import Trainer
 from audio_classification_icbhi_tpu.utils.config import load_config, set_seed
 from audio_classification_icbhi_tpu.utils.plotting import plot_training_history
@@ -33,11 +33,32 @@ def parse_args():
         "--profile", type=str, metavar="DIR",
         help="Write a jax.profiler trace of the first epoch to DIR",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="Call jax.distributed.initialize before building the mesh "
+        "(TPU pod slice: run this same command once per host; the TPU "
+        "environment autodetects coordinator/process_id). For manual "
+        "bring-up set --coordinator host:port, --num-processes, "
+        "--process-id.",
+    )
+    parser.add_argument("--coordinator", type=str, help="host:port of process 0")
+    parser.add_argument("--num-processes", type=int, help="Total host processes")
+    parser.add_argument("--process-id", type=int, help="This host's process index")
     return parser.parse_args()
 
 
 def build_trainer(args, dataset_cls, trainer_cls, default_config: str):
     """Shared setup for all train entry points."""
+    if getattr(args, "multihost", False):
+        from audio_classification_icbhi_tpu.parallel.mesh import init_distributed
+
+        idx = init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            auto=True,  # --multihost with no explicit args = pod autodetect
+        )
+        print(f"Distributed: process {idx}")
     config = load_config(args.config if args.config else default_config)
     if args.model:
         config["model"]["architecture"] = args.model
@@ -66,7 +87,9 @@ def build_trainer(args, dataset_cls, trainer_cls, default_config: str):
     augment = bool(config["data"].get("augmentation", False))
     train_ds = dataset_cls(config["data"]["dataset_path"], "train", config, augment=augment)
     val_ds = dataset_cls(config["data"]["dataset_path"], "val", config, augment=False)
-    model = build_model(config)
+    # axis_name wires cross-replica BatchNorm sync to the data mesh; without
+    # it each device accumulates divergent batch_stats (advisor r1, medium).
+    model = build_model(config, axis_name=DATA_AXIS)
     return trainer_cls(model, train_ds, val_ds, config, mesh=mesh)
 
 
