@@ -43,7 +43,12 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk ({len(body)} bytes): {path}")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body  # kept: the EXTENSIBLE sub-format lives at ITS
+            # offset 24 (re-scanning the file for b"fmt " could match those
+            # bytes inside an earlier LIST/bext chunk)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -53,7 +58,9 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format code is the first 2 bytes
         # of the SubFormat GUID at offset 24 of the fmt chunk body.
-        audio_format = struct.unpack_from("<H", raw, raw.find(b"fmt ") + 8 + 24)[0]
+        if len(fmt_body) < 26:
+            raise ValueError(f"truncated EXTENSIBLE fmt chunk: {path}")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
 
     if audio_format == 1:  # PCM
         if bits == 24:

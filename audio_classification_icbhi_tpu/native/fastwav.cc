@@ -48,6 +48,21 @@ uint32_t rd_u32(const uint8_t* p) {
          ((uint32_t)p[3] << 24);
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)p[0] | ((uint16_t)p[1] << 8); }
+// Sample readers go through memcpy: the data chunk is only 2-byte aligned
+// in the file buffer, so reinterpret_cast loads of 32/64-bit types would be
+// unaligned UB. Compilers lower these memcpys to single (unaligned) loads.
+int16_t rd_s16(const uint8_t* p) { return (int16_t)rd_u16(p); }
+int32_t rd_s32(const uint8_t* p) { return (int32_t)rd_u32(p); }
+float rd_f32(const uint8_t* p) {
+  float v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+double rd_f64(const uint8_t* p) {
+  double v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
 
 int decode(const char* path, Wav& wav) {
   FILE* f = std::fopen(path, "rb");
@@ -67,6 +82,7 @@ int decode(const char* path, Wav& wav) {
     return ERR_NOT_WAV;
 
   const uint8_t* fmt = nullptr;
+  size_t fmt_len = 0;
   const uint8_t* data = nullptr;
   size_t data_len = 0;
   size_t pos = 12;
@@ -77,6 +93,7 @@ int decode(const char* path, Wav& wav) {
     if (pos + 8 + csize > (size_t)size) csize = (uint32_t)(size - pos - 8);
     if (!std::memcmp(cid, "fmt ", 4)) {
       fmt = body;
+      fmt_len = csize;
     } else if (!std::memcmp(cid, "data", 4)) {
       data = body;
       data_len = csize;
@@ -84,12 +101,18 @@ int decode(const char* path, Wav& wav) {
     pos += 8 + csize + (csize & 1);  // word alignment
   }
   if (!fmt || !data) return ERR_NO_CHUNKS;
+  // Validate the fmt chunk size BEFORE reading fields: a truncated or
+  // malformed chunk would otherwise heap-over-read at fmt+14 / fmt+24.
+  if (fmt_len < 16) return ERR_FORMAT;
 
   uint16_t audio_format = rd_u16(fmt);
   uint16_t channels = rd_u16(fmt + 2);
   uint32_t sr = rd_u32(fmt + 4);
   uint16_t bits = rd_u16(fmt + 14);
-  if (audio_format == 0xFFFE) audio_format = rd_u16(fmt + 24);  // EXTENSIBLE
+  if (audio_format == 0xFFFE) {  // EXTENSIBLE: sub-format code at +24
+    if (fmt_len < 26) return ERR_FORMAT;
+    audio_format = rd_u16(fmt + 24);
+  }
   if (channels == 0) return ERR_FORMAT;
 
   size_t bytes_per = bits / 8;
@@ -103,11 +126,11 @@ int decode(const char* path, Wav& wav) {
 
   if (audio_format == 1) {  // PCM
     if (bits == 16) {
-      const int16_t* s = reinterpret_cast<const int16_t*>(data);
       constexpr float k = 1.0f / 32768.0f;
       for (size_t i = 0; i < n_frames; ++i) {
         float acc = 0.0f;
-        for (int c = 0; c < channels; ++c) acc += (float)s[i * channels + c];
+        for (int c = 0; c < channels; ++c)
+          acc += (float)rd_s16(data + (i * channels + c) * 2);
         wav.mono[i] = acc * k * inv_ch;
       }
     } else if (bits == 8) {
@@ -130,11 +153,11 @@ int decode(const char* path, Wav& wav) {
         wav.mono[i] = acc * inv_ch;
       }
     } else if (bits == 32) {
-      const int32_t* s = reinterpret_cast<const int32_t*>(data);
       constexpr float k = 1.0f / 2147483648.0f;
       for (size_t i = 0; i < n_frames; ++i) {
         float acc = 0.0f;
-        for (int c = 0; c < channels; ++c) acc += (float)s[i * channels + c] * k;
+        for (int c = 0; c < channels; ++c)
+          acc += (float)rd_s32(data + (i * channels + c) * 4) * k;
         wav.mono[i] = acc * inv_ch;
       }
     } else {
@@ -142,17 +165,17 @@ int decode(const char* path, Wav& wav) {
     }
   } else if (audio_format == 3) {  // IEEE float
     if (bits == 32) {
-      const float* s = reinterpret_cast<const float*>(data);
       for (size_t i = 0; i < n_frames; ++i) {
         float acc = 0.0f;
-        for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+        for (int c = 0; c < channels; ++c)
+          acc += rd_f32(data + (i * channels + c) * 4);
         wav.mono[i] = acc * inv_ch;
       }
     } else if (bits == 64) {
-      const double* s = reinterpret_cast<const double*>(data);
       for (size_t i = 0; i < n_frames; ++i) {
         double acc = 0.0;
-        for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+        for (int c = 0; c < channels; ++c)
+          acc += rd_f64(data + (i * channels + c) * 8);
         wav.mono[i] = (float)(acc * inv_ch);
       }
     } else {

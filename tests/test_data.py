@@ -155,6 +155,56 @@ class TestWavIO:
         with pytest.raises(ValueError, match="not a RIFF"):
             read_wav(p)
 
+    def test_extensible_with_decoy_fmt_in_list_chunk(self, tmp_path, rng):
+        """Regression (advisor r1): the EXTENSIBLE sub-format was read via
+        raw.find(b'fmt '), which matches those bytes inside any earlier
+        chunk (e.g. a LIST/INFO comment). The sub-format must come from the
+        real fmt chunk's body."""
+        import struct
+
+        x = (0.3 * rng.standard_normal(300)).astype(np.float32)
+        payload = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        # LIST chunk whose body contains the decoy bytes "fmt " followed by
+        # garbage that would decode to an unsupported format code
+        decoy = b"INFOICMT" + struct.pack("<I", 12) + b"fmt garbage."
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) + b"\x00" * 14
+        body = b"LIST" + struct.pack("<I", len(decoy)) + decoy
+        body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(payload)) + payload
+        hdr = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+        p = tmp_path / "decoy.wav"
+        p.write_bytes(hdr + body)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y[0], np.clip(x, -1, 1), atol=1e-4)
+
+    def test_truncated_fmt_chunk_raises(self, tmp_path):
+        """Regression (advisor r1): a short fmt chunk must raise cleanly,
+        not read out of bounds (mirrors the fastwav.cc hardening)."""
+        import struct
+
+        fmt = struct.pack("<HHI", 1, 1, 16000)  # only 8 of 16 required bytes
+        hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        hdr += b"data" + struct.pack("<I", 0)
+        p = tmp_path / "shortfmt.wav"
+        p.write_bytes(hdr)
+        with pytest.raises(ValueError, match="truncated fmt"):
+            read_wav(p)
+
+    def test_truncated_extensible_fmt_raises(self, tmp_path):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)  # no GUID
+        hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        hdr += b"data" + struct.pack("<I", 0)
+        p = tmp_path / "shortext.wav"
+        p.write_bytes(hdr)
+        with pytest.raises(ValueError, match="truncated EXTENSIBLE"):
+            read_wav(p)
+
 
 class TestAnnotations:
     def test_label_mapping(self):

@@ -39,6 +39,25 @@ def test_decode_batch_pad_and_crop(tmp_path, rng):
     np.testing.assert_allclose(batch[1], ref_long[0][1500:7500], atol=1e-4)
 
 
+def test_truncated_fmt_chunk_is_format_error(tmp_path):
+    """Regression (advisor r1): a fmt chunk shorter than 16 bytes (or an
+    EXTENSIBLE one shorter than 26) previously read past the buffer; it
+    must now decode as an error, not crash."""
+    import struct
+
+    short = struct.pack("<HHI", 1, 1, 16000)  # 8 of 16 required bytes
+    noext = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)  # no GUID
+    for name, fmt in (("shortfmt.wav", short), ("shortext.wav", noext)):
+        hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        hdr += b"data" + struct.pack("<I", 0)
+        p = tmp_path / name
+        p.write_bytes(hdr)
+        assert native.decode_mono(p) is None  # clean error path
+        batch, srs, lens = native.decode_batch([p], 100, n_threads=1)
+        assert srs[0] < 0 and lens[0] == 0
+
+
 def test_bad_file_reported_not_crashing(tmp_path):
     good = tmp_path / "good.wav"
     write_wav(good, np.zeros(100, np.float32), 8000)
