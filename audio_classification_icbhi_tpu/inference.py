@@ -31,6 +31,9 @@ class ClassifierEngine:
     """wav -> 4-class probabilities from a self-describing checkpoint."""
 
     def __init__(self, checkpoint_path: str | Path, batch_size: int = 32):
+        from audio_classification_icbhi_tpu.utils.config import ensure_compile_cache
+
+        ensure_compile_cache()
         ckpt = load_checkpoint(checkpoint_path)
         if "config" not in ckpt:
             raise ValueError(f"checkpoint {checkpoint_path} has no embedded config")

@@ -50,21 +50,17 @@ def build_model(config: dict[str, Any], *, axis_name: str | None = None, dtype=N
 
 
 def init_variables(model, key, input_shape, dtype=None):
-    """model.init on the CPU backend: eager initialization dispatches
-    hundreds of tiny ops, each a 30-50 ms RPC through a tunneled TPU
-    backend (minutes total); on CPU it is instant, and jit transfers the
-    resulting arrays to the compute device once."""
-    import contextlib
+    """model.init as ONE jitted program on the default (compute) device.
 
+    Eager init dispatches hundreds of tiny ops — 30-50 ms RPC each through
+    a tunneled TPU backend, and a fresh XLA compile each on a 1-core CPU
+    host (~65 s measured). One jitted program is a single compile, lands
+    the parameters where training runs, and hits the persistent
+    compilation cache (utils.config.ensure_compile_cache) on repeat runs."""
     import jax
 
-    try:
-        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        ctx = contextlib.nullcontext()
-    with ctx:
-        dummy = jnp.zeros(input_shape, dtype or jnp.float32)
-        return model.init(key, dummy, train=False)
+    dummy = jnp.zeros(input_shape, dtype or jnp.float32)
+    return jax.jit(lambda k: model.init(k, dummy, train=False))(key)
 
 
 def _register_builtins():

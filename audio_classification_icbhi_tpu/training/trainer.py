@@ -51,6 +51,9 @@ class Trainer:
     collect_predictions = False
 
     def __init__(self, model, train_dataset, val_dataset, config: dict[str, Any], mesh=None):
+        from audio_classification_icbhi_tpu.utils.config import ensure_compile_cache
+
+        ensure_compile_cache()  # cold XLA compiles dominate short runs
         self.model = model
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
@@ -85,11 +88,26 @@ class Trainer:
 
         self.class_weights = self._calculate_class_weights()
 
-        self.train_loader = BatchLoader(
-            train_dataset, self.batch_size, shuffle=True, drop_last=True,
-            seed=config.get("seed", 42),
-        )
-        self.val_loader = BatchLoader(val_dataset, self.batch_size, shuffle=False)
+        if dcfg.get("cache_on_device", False):
+            # decode once, keep waveforms in HBM, ship only index batches
+            # (data/device_cache.py — kills per-step host->device transfers)
+            from audio_classification_icbhi_tpu.data.device_cache import DeviceCachedLoader
+
+            self.train_loader = DeviceCachedLoader(
+                train_dataset, self.batch_size, mesh=self.mesh,
+                shuffle=True, drop_last=True, seed=config.get("seed", 42),
+            )
+            self.val_loader = DeviceCachedLoader(
+                val_dataset, self.batch_size, mesh=self.mesh, shuffle=False
+            )
+            mb = (self.train_loader.nbytes + self.val_loader.nbytes) / 1e6
+            print(f"Device cache: {mb:.0f} MB of waveforms resident in HBM")
+        else:
+            self.train_loader = BatchLoader(
+                train_dataset, self.batch_size, shuffle=True, drop_last=True,
+                seed=config.get("seed", 42),
+            )
+            self.val_loader = BatchLoader(val_dataset, self.batch_size, shuffle=False)
 
         self.tx = build_optimizer(tcfg.get("optimizer", "adam"), tcfg.get("weight_decay", 0.0))
         self.scheduler = build_scheduler(
@@ -161,14 +179,21 @@ class Trainer:
         tail gradients into the next epoch, trainer_fixed.py:167-180.)
         """
         buf_w, buf_l = [], []
+
+        def stack(ws, ls):
+            # device-cached loaders yield jax arrays: stack stays on device
+            # (np.stack would round-trip every batch through the host)
+            xp = np if isinstance(ws[0], np.ndarray) else jnp
+            return xp.stack(ws), np.stack(ls)
+
         for wavs, labels in loader:
             buf_w.append(wavs)
             buf_l.append(labels)
             if len(buf_w) == self.accum_steps:
-                yield np.stack(buf_w), np.stack(buf_l)
+                yield stack(buf_w, buf_l)
                 buf_w, buf_l = [], []
         if buf_w:
-            yield np.stack(buf_w), np.stack(buf_l)
+            yield stack(buf_w, buf_l)
 
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         self.train_loader.set_epoch(epoch)
@@ -209,7 +234,10 @@ class Trainer:
             mask = np.ones((self.batch_size,), np.float32)
             if b < self.batch_size:
                 pad = self.batch_size - b
-                wavs = np.concatenate([wavs, np.zeros((pad,) + wavs.shape[1:], wavs.dtype)])
+                xp = np if isinstance(wavs, np.ndarray) else jnp
+                wavs = xp.concatenate(
+                    [wavs, xp.zeros((pad,) + wavs.shape[1:], wavs.dtype)]
+                )
                 labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
                 mask[b:] = 0.0
             yield wavs, labels, mask, b

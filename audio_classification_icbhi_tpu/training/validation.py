@@ -21,6 +21,9 @@ from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
 
 class Validator:
     def __init__(self, model, dataset, config, mesh=None, batch_size: int | None = None):
+        from audio_classification_icbhi_tpu.utils.config import ensure_compile_cache
+
+        ensure_compile_cache()
         self.model = model
         self.dataset = dataset
         self.config = config

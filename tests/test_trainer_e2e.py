@@ -206,6 +206,42 @@ class TestTrainerEndToEnd:
         assert trainer2.best_icbhi_score == pytest.approx(trainer.best_icbhi_score)
         assert np.isfinite(trainer2.best_icbhi_score)
 
+    def test_device_cache_matches_host_loader(self, seg_data, tmp_path):
+        """data.cache_on_device keeps decoded waveforms in HBM and ships
+        only index batches; it must reproduce the host loader's training
+        bit-for-bit (same seeded shuffle, same batches, same losses)."""
+        import jax
+
+        from audio_classification_icbhi_tpu.data.device_cache import DeviceCachedLoader
+        from audio_classification_icbhi_tpu.data.loader import BatchLoader
+
+        config = tiny_config(tmp_path / "host", epochs=2)
+        train, val = make_datasets(seg_data, config)
+
+        host = BatchLoader(train, 8, shuffle=True, drop_last=True, seed=5)
+        host.set_epoch(3)
+        from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+
+        dev = DeviceCachedLoader(train, 8, mesh=get_mesh(),
+                                 shuffle=True, drop_last=True, seed=5)
+        dev.set_epoch(3)
+        for (w1, l1), (w2, l2) in zip(host, dev):
+            assert not isinstance(w2, np.ndarray)  # device-resident
+            np.testing.assert_array_equal(l1, l2)
+            np.testing.assert_allclose(w1, np.asarray(w2), atol=0)
+
+        t_host = Trainer(build_model(config, axis_name="data"), train, val, config)
+        hist_host = t_host.train()
+        config_dev = tiny_config(tmp_path / "dev", epochs=2)
+        config_dev["data"]["cache_on_device"] = True
+        t_dev = Trainer(build_model(config_dev, axis_name="data"), train, val, config_dev)
+        hist_dev = t_dev.train()
+        np.testing.assert_allclose(hist_dev["train_loss"], hist_host["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(hist_dev["val_loss"], hist_host["val_loss"],
+                                   rtol=1e-5)
+        jax.block_until_ready(t_dev.params)
+
     def test_unsynced_bn_model_rejected_on_multidevice_mesh(self, seg_data, tmp_path):
         """Regression (advisor r1, medium): a model built without
         axis_name on a multi-device mesh silently diverges its BatchNorm
