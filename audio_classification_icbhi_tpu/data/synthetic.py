@@ -11,6 +11,25 @@ signatures the ICBHI literature describes.
 (audio_and_txt_files/*.wav + tab-separated annotation txt, see reference
 src/data/dataset.py:15-21), `generate_segmented_dataset` writes the per-class
 directory layout (reference dataset_segmented.py:15-27).
+
+Two difficulty regimes:
+
+- ``hard=False`` (default): loud, always-present class signatures. Trivially
+  separable — good for fast plumbing tests, useless as an accuracy benchmark.
+- ``hard=True``: a non-separable regime for honest accuracy measurement.
+  Events are faint (crackle/wheeze amplitudes drawn near the noise floor),
+  sparse, and sometimes intermittent; every clip carries confuser artifacts
+  (heart-sound thumps that look crackle-ish, mains hum + harmonics that look
+  wheeze-ish), and some NORMAL clips carry friction-rub transients and
+  snore tones so transient-ness/tonality alone cannot separate classes;
+  event amplitudes span a continuum that crosses the noise floor (the faint
+  tail is irreducible); pink background noise is mixed at a per-clip SNR
+  drawn from ``snr_db`` (default -6..12 dB); record gain varies ±12 dB.
+  Combined with
+  the ICBHI class skew (``ICBHI_CLASS_PROBS``) this reproduces the dynamics
+  the real task stresses: imbalance-aware weighting and augmentation matter,
+  and accuracy lands in the reference's reported 70-85% band rather than 100%
+  (reference README.md:180).
 """
 
 from __future__ import annotations
@@ -21,6 +40,10 @@ import numpy as np
 
 from audio_classification_icbhi_tpu.data.annotations import SEGMENT_DIR_NAMES
 from audio_classification_icbhi_tpu.data.wavio import write_wav
+
+# Real ICBHI 2017 per-cycle class frequencies: normal 3642, crackles 1864,
+# wheezes 886, both 506 of 6898 cycles (ICBHI 2017 challenge paper, Table 1).
+ICBHI_CLASS_PROBS = (0.528, 0.270, 0.128, 0.073)
 
 
 def _breath_noise(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
@@ -58,20 +81,149 @@ def _add_wheeze(rng: np.random.Generator, x: np.ndarray, sr: int):
     return x
 
 
+def _pink_noise(rng: np.random.Generator, n: int) -> np.ndarray:
+    """1/f-shaped noise (FFT method) — broadband background like ward noise."""
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    freqs = np.arange(spec.shape[0], dtype=np.float64)
+    freqs[0] = 1.0
+    spec /= np.sqrt(freqs)
+    return np.fft.irfft(spec, n).astype(np.float32)
+
+
+def _heart_sounds(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    """S1/S2 heart-sound pairs: ~30 ms low-frequency damped thumps at a
+    0.9-1.4 Hz heart rate. Transient + wideband-ish at onset → a crackle
+    confuser that appears in every class."""
+    x = np.zeros(n, np.float32)
+    period = int(sr / rng.uniform(0.9, 1.4))
+    width = int(0.03 * sr)
+    t = np.arange(width)
+    first = int(rng.integers(0, period))
+    for start in range(first, n - width - int(0.3 * period), period):
+        for off, amp in ((0, 1.0), (int(0.3 * period), 0.6)):
+            p = start + off
+            f = rng.uniform(25, 45)
+            thump = np.sin(2 * np.pi * f * t / sr) * np.exp(-t / (0.008 * sr))
+            x[p : p + width] += amp * thump.astype(np.float32)
+    return x
+
+
+def _friction_rub(rng: np.random.Generator, x: np.ndarray, sr: int):
+    """Pleural-rub-like transients: longer (15-40 ms) band-limited bursts.
+    NOT crackles (different morphology) but close enough to confuse — added
+    to some NORMAL clips so transient-ness alone cannot separate classes."""
+    n = len(x)
+    num = max(1, int(rng.poisson(1.5 * n / sr)))
+    for _ in range(num):
+        width = int(rng.integers(int(0.015 * sr), int(0.04 * sr)))
+        pos = int(rng.integers(0, n - width))
+        burst = rng.standard_normal(width + 32)
+        kernel = np.hanning(33)
+        kernel /= kernel.sum()
+        burst = np.convolve(burst, kernel, mode="valid")[:width]
+        burst *= np.hanning(width)
+        x[pos : pos + width] += rng.uniform(0.1, 0.3) * burst.astype(np.float32)
+    return x
+
+
+def _snore_tone(rng: np.random.Generator, x: np.ndarray, sr: int):
+    """Low-frequency (60-160 Hz) tonal artifact in NORMAL clips — overlaps the
+    bottom of the wheeze f0 range so tonality alone cannot separate classes."""
+    n = len(x)
+    t = np.arange(n) / sr
+    f0 = rng.uniform(60.0, 160.0)
+    tone = np.sin(2 * np.pi * f0 * t) + 0.4 * np.sin(2 * np.pi * 2 * f0 * t)
+    envelope = 0.5 + 0.5 * np.sin(2 * np.pi * 0.3 * t + rng.uniform(0, 2 * np.pi))
+    x += rng.uniform(0.03, 0.12) * (tone * envelope).astype(np.float32)
+    return x
+
+
+def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
+    """Faint, sparse crackles: amplitudes span a continuum that crosses the
+    noise floor (the faint tail is genuinely undetectable -> irreducible
+    class overlap), and counts draw low so some positive clips carry only
+    2-3 events."""
+    n = len(x)
+    dur = n / sr
+    num = max(1, int(rng.poisson(rng.uniform(1.0, 5.0) * dur)))
+    # per-clip intensity scale: some patients' crackles are simply fainter
+    clip_scale = float(np.exp(rng.uniform(np.log(0.25), np.log(1.0))))
+    for _ in range(num):
+        width = int(rng.integers(60, 160))
+        pos = int(rng.integers(0, n - width))
+        amp = clip_scale * rng.uniform(0.04, 0.35)
+        burst = rng.standard_normal(width) * np.exp(-np.arange(width) / (width / 6.0))
+        x[pos : pos + width] += amp * burst.astype(np.float32)
+    return x
+
+
+def _add_wheeze_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
+    """Faint, possibly intermittent wheeze: amplitude continuum crossing the
+    noise floor, f0 log-uniform over 90-1000 Hz (overlapping both the breath
+    band and the normal-clip snore artifact), gated to a random 30-100%
+    contiguous portion of the cycle."""
+    n = len(x)
+    t = np.arange(n) / sr
+    f0 = float(np.exp(rng.uniform(np.log(90.0), np.log(1000.0))))
+    vibrato = 1.0 + 0.02 * np.sin(2 * np.pi * rng.uniform(3.0, 6.0) * t)
+    tone = np.sin(2 * np.pi * f0 * vibrato * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+    frac = rng.uniform(0.3, 1.0)
+    start = int(rng.uniform(0.0, 1.0 - frac) * n)
+    gate = np.zeros(n, np.float32)
+    width = max(1, int(frac * n))
+    gate[start : start + width] = np.hanning(width).astype(np.float32)
+    x += rng.uniform(0.02, 0.25) * (tone * gate).astype(np.float32)
+    return x
+
+
 def synth_respiratory_cycle(
     rng: np.random.Generator,
     label: int,
     duration: float = 2.5,
     sample_rate: int = 16000,
+    hard: bool = False,
+    snr_db: tuple[float, float] = (-6.0, 12.0),
 ) -> np.ndarray:
     """One synthetic breathing cycle of class label (0=normal 1=crackles
-    2=wheezes 3=both), float32 in [-1, 1]."""
+    2=wheezes 3=both), float32 in [-1, 1].
+
+    hard=True switches to the non-separable regime (see module docstring);
+    snr_db is the per-clip pink-noise SNR range it draws from.
+    """
     n = int(duration * sample_rate)
     x = 0.3 * _breath_noise(rng, n, sample_rate)
-    if label in (1, 3):
-        x = _add_crackles(rng, x, sample_rate)
-    if label in (2, 3):
-        x = _add_wheeze(rng, x, sample_rate)
+    if not hard:
+        if label in (1, 3):
+            x = _add_crackles(rng, x, sample_rate)
+        if label in (2, 3):
+            x = _add_wheeze(rng, x, sample_rate)
+    else:
+        # Confusers first — present regardless of class.
+        if rng.uniform() < 0.6:
+            x += rng.uniform(0.05, 0.30) * _heart_sounds(rng, n, sample_rate)
+        if rng.uniform() < 0.25:
+            t = np.arange(n) / sample_rate
+            hum_f = float(rng.choice([50.0, 60.0]))
+            hum = np.sin(2 * np.pi * hum_f * t) + 0.5 * np.sin(2 * np.pi * 3 * hum_f * t)
+            x += rng.uniform(0.01, 0.08) * hum.astype(np.float32)
+        # Crackle-like and wheeze-like artifacts in clips WITHOUT that label:
+        # transient-ness / tonality alone must not separate the classes.
+        if label in (0, 2) and rng.uniform() < 0.25:
+            x = _friction_rub(rng, x, sample_rate)
+        if label in (0, 1) and rng.uniform() < 0.25:
+            x = _snore_tone(rng, x, sample_rate)
+        if label in (1, 3):
+            x = _add_crackles_hard(rng, x, sample_rate)
+        if label in (2, 3):
+            x = _add_wheeze_hard(rng, x, sample_rate)
+        # Pink background at a drawn SNR, then a ±12 dB record-gain roll.
+        snr = rng.uniform(*snr_db)
+        noise = _pink_noise(rng, n)
+        sig_rms = float(np.sqrt(np.mean(x**2))) + 1e-9
+        noise_rms = float(np.sqrt(np.mean(noise**2))) + 1e-9
+        x = x + noise * (sig_rms / noise_rms) * 10.0 ** (-snr / 20.0)
+        x = x * 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
     peak = np.abs(x).max()
     if peak > 0.99:
         x = 0.99 * x / peak
@@ -84,9 +236,15 @@ def generate_icbhi_dataset(
     cycles_per_recording: int = 4,
     sample_rate: int = 16000,
     seed: int = 0,
+    hard: bool = False,
+    class_probs: tuple[float, ...] | None = None,
 ) -> Path:
     """Write a whole-recording layout dataset: root/audio_and_txt_files/
-    {name}.wav + {name}.txt with tab-separated cycle annotations."""
+    {name}.wav + {name}.txt with tab-separated cycle annotations.
+
+    hard=True uses the non-separable regime; class_probs (e.g.
+    ICBHI_CLASS_PROBS) skews the per-cycle label draw (default uniform).
+    """
     rng = np.random.default_rng(seed)
     audio_dir = Path(root) / "audio_and_txt_files"
     audio_dir.mkdir(parents=True, exist_ok=True)
@@ -95,9 +253,12 @@ def generate_icbhi_dataset(
         audio = []
         t0 = 0.0
         for _ in range(cycles_per_recording):
-            label = int(rng.integers(0, 4))
+            if class_probs is not None:
+                label = int(rng.choice(4, p=np.asarray(class_probs) / np.sum(class_probs)))
+            else:
+                label = int(rng.integers(0, 4))
             dur = float(rng.uniform(1.5, 3.0))
-            audio.append(synth_respiratory_cycle(rng, label, dur, sample_rate))
+            audio.append(synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard))
             crackle = 1 if label in (1, 3) else 0
             wheeze = 1 if label in (2, 3) else 0
             cycles.append((t0, t0 + dur, crackle, wheeze))
@@ -117,14 +278,28 @@ def generate_segmented_dataset(
     duration: float = 2.5,
     sample_rate: int = 16000,
     seed: int = 0,
+    hard: bool = False,
+    class_counts: tuple[int, ...] | None = None,
 ) -> Path:
-    """Write the segmented per-class layout: root/{normal,crackle,wheeze,both}/*.wav."""
+    """Write the segmented per-class layout: root/{normal,crackle,wheeze,both}/*.wav.
+
+    class_counts, when given, overrides per_class with explicit per-class
+    sizes (use with ICBHI_CLASS_PROBS to mirror the real skew); hard=True
+    uses the non-separable regime with per-clip duration jitter (±20%).
+    """
     rng = np.random.default_rng(seed)
     root = Path(root)
+    counts = class_counts if class_counts is not None else (per_class,) * len(SEGMENT_DIR_NAMES)
     for label, dirname in enumerate(SEGMENT_DIR_NAMES):
         d = root / dirname
         d.mkdir(parents=True, exist_ok=True)
-        for i in range(per_class):
-            wav = synth_respiratory_cycle(rng, label, duration, sample_rate)
+        for i in range(counts[label]):
+            dur = duration * float(rng.uniform(0.8, 1.2)) if hard else duration
+            wav = synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard)
             write_wav(d / f"{101 + i}_1b1_Al_sc_Synth_seg{i:03d}_{dirname}.wav", wav, sample_rate)
     return root
+
+
+def icbhi_class_counts(total: int) -> tuple[int, ...]:
+    """Per-class counts mirroring the real ICBHI skew, summing to ~total."""
+    return tuple(max(1, round(total * p)) for p in ICBHI_CLASS_PROBS)

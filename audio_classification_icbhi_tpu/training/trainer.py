@@ -154,10 +154,18 @@ class Trainer:
     # ------------------------------------------------------------------ setup
 
     def _calculate_class_weights(self) -> np.ndarray:
-        """Inverse-frequency weights (reference trainer_fixed.py:116-134)."""
+        """Inverse-frequency weights (reference trainer_fixed.py:116-134).
+
+        training.class_weighting=false (an extension; the reference always
+        weights) switches to uniform weights — used by the accuracy-ablation
+        benchmark to measure what weighting buys on the imbalanced set.
+        """
         labels = self.train_dataset.labels
         num_classes = self.config["model"]["num_classes"]
         counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+        if not self.config["training"].get("class_weighting", True):
+            print("\nClass weighting disabled (uniform weights).")
+            return np.ones(num_classes, np.float32)
         weights = len(labels) / (num_classes * np.maximum(counts, 1))
         print("\nClass distribution:")
         for i, (count, weight) in enumerate(zip(counts, weights)):

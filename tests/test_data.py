@@ -20,8 +20,14 @@ from audio_classification_icbhi_tpu.data import (
     write_wav,
 )
 from audio_classification_icbhi_tpu.data.annotations import (
+    SEGMENT_DIR_NAMES,
     label_from_flags,
     parse_annotation_file,
+)
+from audio_classification_icbhi_tpu.data.synthetic import (
+    ICBHI_CLASS_PROBS,
+    icbhi_class_counts,
+    synth_respiratory_cycle,
 )
 from audio_classification_icbhi_tpu.data.wavio import resample_np
 
@@ -381,3 +387,55 @@ class TestSegmenter:
         stats = seg.process_all()
         assert stats["skipped_segments"] == 1
         assert stats["crackle"] == 1
+
+
+class TestHardSyntheticRegime:
+    """Non-separable regime for honest accuracy benchmarking
+    (benchmarks/accuracy_bench.py; VERDICT r1 #2)."""
+
+    def test_icbhi_skew_counts(self):
+        counts = icbhi_class_counts(1000)
+        assert sum(counts) in range(995, 1006)
+        assert counts[0] > counts[1] > counts[2] > counts[3]
+        # real ICBHI proportions: 52.8/27.0/12.8/7.3%
+        assert counts == (528, 270, 128, 73)
+
+    def test_hard_dataset_layout_and_skew(self, tmp_path):
+        root = generate_segmented_dataset(
+            tmp_path / "hard", hard=True, duration=1.0,
+            class_counts=(8, 4, 2, 1), seed=3,
+        )
+        sizes = [len(list((root / d).glob("*.wav"))) for d in SEGMENT_DIR_NAMES]
+        assert sizes == [8, 4, 2, 1]
+
+    def test_hard_cycles_are_not_trivially_separable(self):
+        """The easy regime separates classes by raw energy/peak alone; the
+        hard regime must not (events near the noise floor + confusers +
+        gain roll). Guard: a peak-amplitude threshold classifier on 0-vs-1
+        stays far from perfect."""
+        rng = np.random.default_rng(0)
+        peaks = {0: [], 1: []}
+        for lab in (0, 1):
+            for _ in range(40):
+                x = synth_respiratory_cycle(rng, lab, 1.0, 16000, hard=True)
+                peaks[lab].append(float(np.abs(x).max()))
+        thresh = np.median(peaks[0] + peaks[1])
+        acc = (np.mean(np.asarray(peaks[0]) <= thresh)
+               + np.mean(np.asarray(peaks[1]) > thresh)) / 2
+        assert acc < 0.8, f"peak threshold separates hard regime too well ({acc:.2f})"
+
+    def test_hard_deterministic_and_bounded(self):
+        a = synth_respiratory_cycle(np.random.default_rng(7), 3, 1.5, 16000, hard=True)
+        b = synth_respiratory_cycle(np.random.default_rng(7), 3, 1.5, 16000, hard=True)
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a).max() <= 0.99 + 1e-6
+        assert a.dtype == np.float32
+
+    def test_hard_whole_recording_layout(self, tmp_path):
+        root = generate_icbhi_dataset(
+            tmp_path / "rec", num_recordings=3, cycles_per_recording=2,
+            hard=True, class_probs=ICBHI_CLASS_PROBS, seed=0,
+        )
+        wavs = list((root / "audio_and_txt_files").glob("*.wav"))
+        txts = list((root / "audio_and_txt_files").glob("*.txt"))
+        assert len(wavs) == 3 and len(txts) == 3
