@@ -405,7 +405,10 @@ class Trainer:
         self.best_val_loss = value
 
     def save_checkpoint(self, path, epoch: int, val_loss: float, extra: dict | None = None):
-        save_checkpoint(path, self._checkpoint_payload(epoch, val_loss, extra or {}))
+        # training.checkpoint_format: "msgpack" (single file, default) or
+        # "orbax" (directory; sharded-array/multi-host-aware writes)
+        fmt = self.config["training"].get("checkpoint_format", "msgpack")
+        save_checkpoint(path, self._checkpoint_payload(epoch, val_loss, extra or {}), format=fmt)
 
     def restore(self, path) -> None:
         """Resume from a checkpoint (capability the reference lacks).

@@ -10,6 +10,13 @@ external files (reference cli.py:16-41, validate.py:46-54).
 Serialization is flax msgpack (single file, numpy-native) instead of torch
 pickle. `save_checkpoint`/`load_checkpoint` mirror reference
 src/utils/config.py:60-99.
+
+An orbax backend (format="orbax") writes the same logical payload as an
+orbax-checkpoint directory — array state via StandardSave (sharded-array
+and multi-host aware: on a pod slice every process calls save() and orbax
+coordinates the write), JSON-able metadata via JsonSave. load_checkpoint
+sniffs the format, so every consumer (cli.py, validate.py, --resume)
+accepts either transparently.
 """
 
 from __future__ import annotations
@@ -33,14 +40,58 @@ def _to_host(tree):
     )
 
 
-def save_checkpoint(path: str | Path, checkpoint: dict[str, Any]) -> Path:
-    """Write a checkpoint dict to a single msgpack file.
+# payload keys that are plain metadata (JSON-able), not array trees
+# (trainer payload: _checkpoint_payload + TrainerWithICBHI extras)
+_META_KEYS = ("epoch", "val_loss", "config", "icbhi_score", "icbhi_metrics",
+              "scheduler", "best_metric", "patience_counter")
+
+
+def _save_orbax(path: Path, checkpoint: dict[str, Any]) -> Path:
+    import orbax.checkpoint as ocp
+
+    meta = {k: checkpoint[k] for k in checkpoint if k in _META_KEYS}
+    state = {k: v for k, v in checkpoint.items() if k not in meta}
+    # to_state_dict first: optax tuple/NamedTuple states become nested dicts,
+    # the same shape msgpack checkpoints carry, so restore() code is shared
+    state = serialization.to_state_dict(_to_host(state))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        ckptr.save(
+            path.resolve(),
+            ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+            force=True,
+        )
+    return path
+
+
+def _load_orbax(path: Path) -> dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(path.resolve())
+    out = dict(restored["state"])
+    out.update(restored["meta"] or {})
+    return out
+
+
+def save_checkpoint(
+    path: str | Path, checkpoint: dict[str, Any], format: str = "msgpack"
+) -> Path:
+    """Write a checkpoint dict: one msgpack file (default) or an orbax
+    directory (format="orbax", config training.checkpoint_format).
 
     The config dict is JSON-encoded into a str leaf so arbitrary nested YAML
     config survives msgpack's typing (bytes leaves collide with flax's
     ndarray ext encoding; str round-trips cleanly).
     """
     path = Path(path)
+    if format == "orbax":
+        return _save_orbax(path, checkpoint)
+    if format != "msgpack":
+        raise ValueError(f"unknown checkpoint format {format!r}")
     path.parent.mkdir(parents=True, exist_ok=True)
     ckpt = dict(checkpoint)
     if "config" in ckpt and isinstance(ckpt["config"], dict):
@@ -56,7 +107,10 @@ def save_checkpoint(path: str | Path, checkpoint: dict[str, Any]) -> Path:
 
 
 def load_checkpoint(path: str | Path) -> dict[str, Any]:
-    """Read a checkpoint saved by save_checkpoint."""
+    """Read a checkpoint saved by save_checkpoint (format auto-detected:
+    orbax checkpoints are directories, msgpack checkpoints are files)."""
+    if Path(path).is_dir():
+        return _load_orbax(Path(path))
     data = serialization.msgpack_restore(Path(path).read_bytes())
     cfg = data.get("config")
     if isinstance(cfg, str) and cfg.startswith("json:"):

@@ -172,6 +172,42 @@ class TestCheckpoint:
             save_checkpoint(tmp_path / f"checkpoint_epoch_{e}.ckpt", {"epoch": e})
         assert latest_checkpoint(tmp_path).name == "checkpoint_epoch_10.ckpt"
 
+    def test_orbax_roundtrip_contract(self, tmp_path):
+        """format='orbax' writes a directory with the same logical payload;
+        load_checkpoint sniffs the format (dir vs file) transparently.
+        Includes an optax-like tuple state: to_state_dict flattens it to the
+        same nested-dict shape the msgpack path produces."""
+        ckpt = {
+            "epoch": 3,
+            "params": {"dense": {"kernel": np.ones((4, 2), np.float32)}},
+            "batch_stats": {"bn": {"mean": np.zeros(4, np.float32)}},
+            "opt_state": ({"count": np.int32(7)}, {"mu": np.ones(2, np.float32)}),
+            "val_loss": 0.5,
+            "config": {"model": {"architecture": "cnn"}, "classes": ["a", "b"]},
+            "class_weights": np.array([1.0, 2.0], np.float32),
+            "scheduler": {"last_lr": 0.001, "bad_epochs": 2},
+            "best_metric": 0.9,
+            "patience_counter": 1,
+        }
+        p = save_checkpoint(tmp_path / "best_model.ckpt", ckpt, format="orbax")
+        assert p.is_dir()
+        back = load_checkpoint(p)
+        assert back["epoch"] == 3
+        assert back["config"]["model"]["architecture"] == "cnn"
+        assert back["scheduler"]["bad_epochs"] == 2
+        assert back["best_metric"] == 0.9
+        np.testing.assert_array_equal(back["class_weights"], ckpt["class_weights"])
+        np.testing.assert_array_equal(
+            back["params"]["dense"]["kernel"], ckpt["params"]["dense"]["kernel"]
+        )
+        # tuple state flattened identically to the msgpack path
+        msg = load_checkpoint(save_checkpoint(tmp_path / "m.ckpt", ckpt))
+        assert set(back["opt_state"].keys()) == set(msg["opt_state"].keys())
+
+    def test_unknown_format_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
+            save_checkpoint(tmp_path / "x.ckpt", {"epoch": 0}, format="pickle")
+
 
 class TestTensorBoard:
     def test_write_and_read_scalars(self, tmp_path):
