@@ -428,6 +428,18 @@ class MelFrontend:
             return True
         return False
 
+    def _pallas_algorithm(self) -> str:
+        """Best eligible kernel: radix2_fused frames IN VMEM (needs
+        n_fft % hop == 0 like frame_signal, plus hop % 256 == 0 so the
+        in-kernel lane slices stay 128-aligned) and fuses the per-example
+        epilogue; radix2 needs only n_fft % 4 == 0; bf16x3 is the general
+        fallback."""
+        if self.n_fft % 4 == 0:
+            if self.n_fft % self.hop_length == 0 and self.hop_length % 256 == 0:
+                return "radix2_fused"
+            return "radix2"
+        return "bf16x3"
+
     def _use_xla_radix2(self) -> bool:
         """Radix-2 decomposition in plain XLA: half the DFT FLOPs, still
         fusable. Used automatically when the shape qualifies."""
@@ -443,20 +455,7 @@ class MelFrontend:
         """Un-normalized log-mel (..., n_mels, T) — the point in the chain
         where SpecAugment applies (reference preprocessing.py:139-146)."""
         if self._use_pallas():
-            from audio_classification_icbhi_tpu.ops import pallas_mel
-
-            return pallas_mel.log_mel_pallas(
-                waveform,
-                self.sample_rate,
-                self.n_fft,
-                self.hop_length,
-                self.n_mels,
-                f_min=self.f_min,
-                f_max=self.f_max,
-                top_db=self.top_db,
-                mel_scale=self.mel_scale,
-                norm=self.norm,
-            )
+            return self._pallas_log_mel(waveform, normalize=False)
         if self._use_xla_radix2():
             mel = _log_mel_radix2_xla(
                 waveform, self.sample_rate, self.n_fft, self.hop_length,
@@ -478,7 +477,28 @@ class MelFrontend:
             use_matmul_dft=self.use_matmul_dft,
         )
 
+    def _pallas_log_mel(self, waveform: jax.Array, normalize: bool) -> jax.Array:
+        from audio_classification_icbhi_tpu.ops import pallas_mel
+
+        return pallas_mel.log_mel_pallas(
+            waveform,
+            self.sample_rate,
+            self.n_fft,
+            self.hop_length,
+            self.n_mels,
+            f_min=self.f_min,
+            f_max=self.f_max,
+            top_db=self.top_db,
+            mel_scale=self.mel_scale,
+            norm=self.norm,
+            algorithm=self._pallas_algorithm(),
+            normalize=normalize,
+        )
+
     def __call__(self, waveform: jax.Array) -> jax.Array:
+        if self._use_pallas():
+            # normalize rides inside (radix2_fused) or right behind the kernel
+            return self._pallas_log_mel(waveform, normalize=self.normalize)
         mel = self.log_mel(waveform)
         if self.normalize:
             mel = normalize_spectrogram(mel)

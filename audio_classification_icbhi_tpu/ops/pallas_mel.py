@@ -265,6 +265,158 @@ def _kernel_radix2(e_ref, o_ref, ce_ref, se_ref, co_ref, so_ref,
     out_ref[:] = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
 
+def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
+                         cj_ref, sj_ref, fblo_ref, fbhi_ref, out_ref, *,
+                         t: int, t_pad: int, pieces: int, hh: int, n_mels: int,
+                         normalize: bool, top_db: float | None, eps: float):
+    """Grid: (B,) — one whole example per cell.
+
+    Framing happens IN VMEM: the inputs are the example's even/odd sample
+    streams as lane vectors (1, need); frame f's even half is the hop-sized
+    chunks f..f+pieces-1, assembled as `pieces` lane-aligned slices reshaped
+    to (t_pad, hop/2) and lane-concatenated — so frame overlap never
+    materializes the (B*T, n_fft) frames tensor in HBM (~4x the waveform at
+    hop = n_fft/4). Sublane-shifted slices would be the natural phrasing but
+    Mosaic rejects their concat ("offset mismatch on non-concat dimension");
+    lane-offset slices at hop/2 % 128 == 0 are relayout-free. Because the
+    full example's mel lives in VMEM, the per-example epilogue (top_db clip
+    against the example peak, zero-mean/unit-var normalize) fuses here too,
+    instead of costing extra HBM passes after the kernel.
+    """
+    we = we_ref[0]  # (1, (t_pad + pieces - 1) * hh) even-sample lane vector
+    wo = wo_ref[0]
+
+    def frames_of(x):
+        return jnp.concatenate(
+            [jnp.reshape(x[:, s * hh : (s + t_pad) * hh], (t_pad, hh))
+             for s in range(pieces)],
+            axis=1,
+        )
+
+    e = frames_of(we)
+    o = frames_of(wo)
+    e_hi = e.astype(jnp.bfloat16)
+    e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    o_hi = o.astype(jnp.bfloat16)
+    o_lo = (o - o_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot4(x_hi, x_lo, m_ref):
+        hi, lo = m_ref[0], m_ref[1]
+        return (
+            _dot_bf16(x_hi, hi) + _dot_bf16(x_hi, lo)
+            + _dot_bf16(x_lo, hi) + _dot_bf16(x_lo, lo)
+        )
+
+    p = dot4(e_hi, e_lo, ce_ref)
+    q = dot4(e_hi, e_lo, se_ref)
+    r = dot4(o_hi, o_lo, co_ref)
+    w = dot4(o_hi, o_lo, so_ref)
+    c = cj_ref[:]
+    s = sj_ref[:]
+    cr = c * r
+    st = s * w
+    ct = c * w
+    sr = s * r
+    re_lo = p + cr - st
+    im_lo = q + ct + sr
+    re_hi = p - cr + st
+    im_hi = q - ct - sr
+    power_lo = re_lo * re_lo + im_lo * im_lo
+    power_hi = re_hi * re_hi + im_hi * im_hi
+    mel = _dot_f32(power_lo, fblo_ref[:]) + _dot_f32(power_hi, fbhi_ref[:])
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+    if top_db is not None or normalize:
+        rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
+        valid = (rows < t) & (cols < n_mels)
+        if top_db is not None:
+            peak = jnp.max(jnp.where(valid, db, -jnp.inf))
+            db = jnp.maximum(db, peak - top_db)
+        if normalize:
+            n = t * n_mels
+            mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
+            centered = jnp.where(valid, db - mean, 0.0)
+            # unbiased (ddof=1) to match torch.std (normalize_spectrogram)
+            var = jnp.sum(centered * centered) / max(n - 1, 1)
+            db = (db - mean) / (jnp.sqrt(var) + eps)
+    out_ref[0] = db
+
+
+def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
+                          mel_scale, norm, interpret: bool,
+                          f_min: float = 0.0, f_max: float | None = None,
+                          top_db: float | None = None,
+                          normalize: bool = False, eps: float = 1e-8):
+    if n_fft % hop_length:
+        raise ValueError("radix2_fused requires n_fft divisible by hop_length")
+    if (hop_length // 2) % 128:
+        # in-kernel framing slices the sample streams at hop/2 lane offsets;
+        # Mosaic needs those 128-aligned (production 2048/512 -> hh=256 ok)
+        raise ValueError("radix2_fused requires hop_length % 256 == 0")
+    b, length = waveform.shape
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    pieces = n_fft // hop_length
+    hh = hop_length // 2
+    t_pad = _round_up(t, 8)
+    rows_in = t_pad + pieces - 1
+    need = rows_in * hh
+    # torch.stft center=True semantics: reflect-pad n_fft//2 each side (even,
+    # so frame parity alignment survives the shift).
+    x = stft_ops.reflect_pad(waveform, n_fft // 2)
+    if x.shape[-1] % 2:
+        x = jnp.pad(x, ((0, 0), (0, 1)))
+    # Even/odd de-interleave + row reshape: ONE waveform-sized materialization
+    # (XLA fuses slice+pad+reshape into a single copy) instead of the
+    # (B, T, n_fft) frames tensor the unfused paths stage in HBM.
+    half = x.reshape(b, x.shape[-1] // 2, 2)
+    we = half[:, :, 0]
+    wo = half[:, :, 1]
+    if need > we.shape[-1]:
+        pad = need - we.shape[-1]
+        we = jnp.pad(we, ((0, 0), (0, pad)))
+        wo = jnp.pad(wo, ((0, 0), (0, pad)))
+    # (B, 1, need): the kernel block must satisfy Pallas's (8, 128) tiling
+    # rule on its last two dims — (1, need) blocks do by matching the array
+    we = we[:, :need].reshape(b, 1, need)
+    wo = wo[:, :need].reshape(b, 1, need)
+
+    ce, se, co, so, cj, sj, fb_lo, fb_hi = _constants_radix2(
+        sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
+    )
+    h = n_fft // 2
+    nb_pad = ce.shape[2]
+    m_pad = fb_lo.shape[1]
+
+    const3 = lambda: pl.BlockSpec((2, h, nb_pad), lambda bi: (0, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    const2 = lambda shp: pl.BlockSpec(shp, lambda bi: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_radix2_fused, t=t, t_pad=t_pad, pieces=pieces, hh=hh,
+            n_mels=n_mels, normalize=normalize, top_db=top_db, eps=eps,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, need), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, need), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            const3(), const3(), const3(), const3(),
+            const2((1, nb_pad)), const2((1, nb_pad)),
+            const2((nb_pad, m_pad)), const2((nb_pad, m_pad)),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, m_pad), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
+        # constants alone are ~11 MB (4 bf16 hi/lo DFT matrices); with the
+        # per-example intermediates the worst-case stack lands just past the
+        # default 16 MB scoped-vmem budget on 5 s clips
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(we, wo, *(jnp.asarray(x) for x in (ce, se, co, so, cj, sj, fb_lo, fb_hi)))
+    return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
+
+
 def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
                     mel_scale, norm, tile_r: int, interpret: bool,
                     f_min: float = 0.0, f_max: float | None = None):
@@ -324,7 +476,8 @@ def log_mel_pallas(
     top_db: float | None = None,
     mel_scale: str = "htk",
     norm: str | None = None,
-    algorithm: str = "radix2",  # "radix2" | "bf16x3" | "f32"
+    algorithm: str = "radix2",  # "radix2_fused" | "radix2" | "bf16x3" | "f32"
+    normalize: bool = False,
     tile_t: int = 64,
     f_tile: int = 512,
     interpret: bool = False,
@@ -333,16 +486,20 @@ def log_mel_pallas(
 
     Semantics identical to ops.mel.log_mel_spectrogram(..., to_db="amplitude",
     use_matmul_dft=True) (torchaudio MelSpectrogram + AmplitudeToDB chain,
-    reference preprocessing.py:38-47). top_db clips per example against its
-    global dB peak, so it applies after the tiled kernel (a block never sees
-    the whole example); XLA fuses the clip into the kernel's consumer.
+    reference preprocessing.py:38-47). For the tiled algorithms top_db clips
+    per example against its global dB peak, so it applies after the kernel (a
+    block never sees the whole example); "radix2_fused" processes one whole
+    example per grid cell and applies top_db — and, with normalize=True, the
+    per-example zero-mean/unit-var normalize (ops.mel.normalize_spectrogram,
+    reference preprocessing.py:111-116) — inside the kernel.
     """
     if waveform.ndim == 1:
         return log_mel_pallas(
             waveform[None], sample_rate, n_fft, hop_length, n_mels,
             f_min=f_min, f_max=f_max, top_db=top_db,
             mel_scale=mel_scale, norm=norm, algorithm=algorithm,
-            tile_t=tile_t, f_tile=f_tile, interpret=interpret,
+            normalize=normalize, tile_t=tile_t, f_tile=f_tile,
+            interpret=interpret,
         )[0]
 
     def clip_top_db(db):
@@ -351,14 +508,29 @@ def log_mel_pallas(
         peak = jnp.max(db, axis=(-2, -1), keepdims=True)
         return jnp.maximum(db, peak - top_db)
 
+    def normalize_out(db):
+        if not normalize:
+            return db
+        from audio_classification_icbhi_tpu.ops.mel import normalize_spectrogram
+
+        return normalize_spectrogram(db)
+
+    if algorithm == "radix2_fused":
+        if n_fft % 4:
+            raise ValueError("radix2_fused requires n_fft divisible by 4")
+        return _log_mel_radix2_fused(
+            waveform, sample_rate, n_fft, hop_length, n_mels,
+            mel_scale, norm, interpret=interpret,
+            f_min=f_min, f_max=f_max, top_db=top_db, normalize=normalize,
+        )
     if algorithm == "radix2":
         if n_fft % 4:
             raise ValueError("radix2 requires n_fft divisible by 4")
-        return clip_top_db(_log_mel_radix2(
+        return normalize_out(clip_top_db(_log_mel_radix2(
             waveform, sample_rate, n_fft, hop_length, n_mels,
             mel_scale, norm, tile_r=128, interpret=interpret,
             f_min=f_min, f_max=f_max,
-        ))
+        )))
     b, length = waveform.shape
     t = stft_ops.num_frames(length, n_fft, hop_length)
     frames = stft_ops.frame_signal(waveform, n_fft, hop_length)  # (B, T, n_fft)
@@ -410,4 +582,4 @@ def log_mel_pallas(
         interpret=interpret,
     )(frames, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(fb))
     # crop padding, transpose to torchaudio layout (B, n_mels, T)
-    return clip_top_db(jnp.swapaxes(out[:, :t, :n_mels], 1, 2))
+    return normalize_out(clip_top_db(jnp.swapaxes(out[:, :t, :n_mels], 1, 2)))

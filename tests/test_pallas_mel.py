@@ -97,6 +97,60 @@ class TestPallasMel:
         want = xla_ref(wav, mel_scale="slaney", norm="slaney")
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_radix2_fused_within_parity_budget(self, wav):
+        """radix2_fused frames IN VMEM (sublane-shift + lane-concat of the
+        de-interleaved waveform rows) — same numerics as radix2."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix2_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
+
+    def test_radix2_fused_noise_odd_batch_and_length(self, rng):
+        n = (0.1 * rng.standard_normal((3, SR + 320))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix2_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(n), atol=1e-3)
+
+    def test_radix2_fused_normalize_and_top_db_epilogue(self, wav):
+        """The per-example epilogue (top_db clip + zero-mean/unit-var) runs
+        inside the kernel; must match the unfused normalize_spectrogram on
+        the XLA mel within combined tolerance."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix2_fused", normalize=True,
+                           top_db=60.0, interpret=True)
+        )
+        want = mel_ops.normalize_spectrogram(
+            jnp.asarray(xla_ref(wav, top_db=60.0))
+        )
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-3)
+
+    def test_radix2_fused_f_min_f_max(self, wav):
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           f_min=50.0, f_max=4000.0,
+                           algorithm="radix2_fused", interpret=True)
+        )
+        np.testing.assert_allclose(
+            got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1e-3
+        )
+
+    def test_frontend_pallas_algorithm_selection(self):
+        fe = mel_ops.MelFrontend(backend="pallas")
+        assert fe._pallas_algorithm() == "radix2_fused"
+        # hop not dividing n_fft -> no in-kernel framing
+        assert (
+            mel_ops.MelFrontend(backend="pallas", hop_length=500)._pallas_algorithm()
+            == "radix2"
+        )
+        assert (
+            mel_ops.MelFrontend(backend="pallas", n_fft=1026)._pallas_algorithm()
+            == "bf16x3"
+        )
+
     def test_xla_radix2_frontend_within_budget(self, wav):
         """The production MelFrontend auto path (radix-2 bf16x4 in XLA with
         the RTN bit-split) must stay inside the 1e-3 budget — including the
