@@ -73,10 +73,15 @@ def features_from_wavs(
     if augment:
         k_wav, k_spec = jax.random.split(key)
         wavs = _augment_batch(k_wav, wavs)
-    mel = frontend.log_mel(wavs)
-    if augment:
+        mel = frontend.log_mel(wavs)
         mel = _augment_spec_batch(k_spec, mel)
-    mel = normalize_spectrogram(mel)
+        mel = normalize_spectrogram(mel)
+    elif frontend._use_pallas():
+        # no spec-aug between mel and normalize -> the per-example epilogue
+        # can run inside the radix2_fused kernel
+        mel = frontend._pallas_log_mel(wavs, normalize=True)
+    else:
+        mel = normalize_spectrogram(frontend.log_mel(wavs))
     return mel[..., None]
 
 
