@@ -134,14 +134,49 @@ class ConstantLR:
         pass
 
 
-def build_scheduler(name: str | None, base_lr: float, epochs: int, *, plateau_mode: str = "min"):
+class LinearWarmup:
+    """Linear LR warmup over the first warmup_epochs epochs, wrapping any
+    base scheduler (framework extension — the reference has no warmup;
+    config training.warmup_epochs, default 0 = off). At 0-based epoch e:
+    lr = base.lr * min(1, (e+1)/warmup_epochs). Useful against the
+    cold-start collapse weighted CE can hit on hard, skewed data."""
+
+    def __init__(self, base, warmup_epochs: int):
+        self.base = base
+        self.warmup_epochs = max(int(warmup_epochs), 1)
+        self._epoch = 0
+
+    @property
+    def lr(self) -> float:
+        scale = min(1.0, (self._epoch + 1) / self.warmup_epochs)
+        return self.base.lr * scale
+
+    def step(self, metric: float | None = None) -> None:
+        self._epoch += 1
+        self.base.step(metric)
+
+    def state_dict(self) -> dict:
+        return {"warmup_epoch": self._epoch, "base": self.base.state_dict()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch = int(state["warmup_epoch"])
+        self.base.load_state_dict(state["base"])
+
+
+def build_scheduler(name: str | None, base_lr: float, epochs: int, *,
+                    plateau_mode: str = "min", warmup_epochs: int = 0):
     """Scheduler factory keyed by config['training']['scheduler']
-    (reference trainer_fixed.py:78-92)."""
+    (reference trainer_fixed.py:78-92); warmup_epochs > 0 wraps the result
+    in LinearWarmup."""
     name = (name or "").lower()
     if name == "cosine":
-        return CosineAnnealingLR(base_lr, t_max=epochs)
-    if name == "plateau":
-        return ReduceLROnPlateau(base_lr, mode=plateau_mode)
-    if name == "step":
-        return StepLR(base_lr)
-    return ConstantLR(base_lr)
+        sched = CosineAnnealingLR(base_lr, t_max=epochs)
+    elif name == "plateau":
+        sched = ReduceLROnPlateau(base_lr, mode=plateau_mode)
+    elif name == "step":
+        sched = StepLR(base_lr)
+    else:
+        sched = ConstantLR(base_lr)
+    if warmup_epochs:
+        return LinearWarmup(sched, warmup_epochs)
+    return sched

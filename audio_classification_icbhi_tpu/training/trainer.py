@@ -113,6 +113,7 @@ class Trainer:
         self.scheduler = build_scheduler(
             tcfg.get("scheduler"), self.learning_rate, self.epochs,
             plateau_mode=self.plateau_mode,
+            warmup_epochs=int(tcfg.get("warmup_epochs", 0)),
         )
         # fp16 compute needs GradScaler semantics (reference trainer_fixed.py
         # :95,:161-174); bf16 on TPU does not (no loss scaling required).
