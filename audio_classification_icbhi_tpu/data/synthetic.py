@@ -81,14 +81,38 @@ def _add_wheeze(rng: np.random.Generator, x: np.ndarray, sr: int):
     return x
 
 
-def _pink_noise(rng: np.random.Generator, n: int) -> np.ndarray:
-    """1/f-shaped noise (FFT method) — broadband background like ward noise."""
+def _pink_noise(rng: np.random.Generator, n: int, exp: float = 0.5) -> np.ndarray:
+    """1/f^(2*exp)-shaped noise (FFT method) — broadband background like ward
+    noise; exp is a patient/ward 'noise color' (0.5 = pink)."""
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     freqs = np.arange(spec.shape[0], dtype=np.float64)
     freqs[0] = 1.0
-    spec /= np.sqrt(freqs)
+    spec /= freqs**exp
     return np.fft.irfft(spec, n).astype(np.float32)
+
+
+def make_patient_profile(rng: np.random.Generator) -> dict:
+    """Per-patient/recording acoustic identity for the hard regime.
+
+    Real ICBHI recordings differ systematically by patient and device
+    (stethoscope location, recorder gain, ward noise, heart prominence);
+    the official evaluation is patient-disjoint, so these factors are the
+    distribution shift the training recipe (augmentation, weighting) exists
+    to absorb. All cycles of one recording share a profile; the
+    whole-recording dataset's positional split then yields patient-disjoint
+    train/val automatically.
+    """
+    return {
+        "gain_db": float(rng.uniform(-12.0, 0.0)),
+        "snr_bias_db": float(rng.normal(0.0, 3.0)),
+        "noise_exp": float(rng.uniform(0.35, 0.65)),
+        "heart_p": float(rng.uniform(0.2, 0.9)),
+        "heart_amp": float(rng.uniform(0.05, 0.30)),
+        "hum_p": float(rng.choice([0.0, 0.8])),  # device either hums or not
+        "hum_amp": float(rng.uniform(0.01, 0.08)),
+        "intensity_scale": float(np.exp(rng.uniform(np.log(0.4), np.log(1.3)))),
+    }
 
 
 def _heart_sounds(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
@@ -139,7 +163,8 @@ def _snore_tone(rng: np.random.Generator, x: np.ndarray, sr: int):
     return x
 
 
-def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
+def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int,
+                       scale: float = 1.0):
     """Faint, sparse crackles: amplitudes span a continuum that crosses the
     noise floor (the faint tail is genuinely undetectable -> irreducible
     class overlap), and counts draw low so some positive clips carry only
@@ -148,7 +173,7 @@ def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
     dur = n / sr
     num = max(1, int(rng.poisson(rng.uniform(1.0, 5.0) * dur)))
     # per-clip intensity scale: some patients' crackles are simply fainter
-    clip_scale = float(np.exp(rng.uniform(np.log(0.25), np.log(1.0))))
+    clip_scale = scale * float(np.exp(rng.uniform(np.log(0.25), np.log(1.0))))
     for _ in range(num):
         width = int(rng.integers(60, 160))
         pos = int(rng.integers(0, n - width))
@@ -158,7 +183,8 @@ def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
     return x
 
 
-def _add_wheeze_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
+def _add_wheeze_hard(rng: np.random.Generator, x: np.ndarray, sr: int,
+                     scale: float = 1.0):
     """Faint, possibly intermittent wheeze: amplitude continuum crossing the
     noise floor, f0 log-uniform over 90-1000 Hz (overlapping both the breath
     band and the normal-clip snore artifact), gated to a random 30-100%
@@ -173,7 +199,7 @@ def _add_wheeze_hard(rng: np.random.Generator, x: np.ndarray, sr: int):
     gate = np.zeros(n, np.float32)
     width = max(1, int(frac * n))
     gate[start : start + width] = np.hanning(width).astype(np.float32)
-    x += rng.uniform(0.02, 0.25) * (tone * gate).astype(np.float32)
+    x += scale * rng.uniform(0.02, 0.25) * (tone * gate).astype(np.float32)
     return x
 
 
@@ -184,12 +210,15 @@ def synth_respiratory_cycle(
     sample_rate: int = 16000,
     hard: bool = False,
     snr_db: tuple[float, float] = (-6.0, 12.0),
+    profile: dict | None = None,
 ) -> np.ndarray:
     """One synthetic breathing cycle of class label (0=normal 1=crackles
     2=wheezes 3=both), float32 in [-1, 1].
 
     hard=True switches to the non-separable regime (see module docstring);
-    snr_db is the per-clip pink-noise SNR range it draws from.
+    snr_db is the per-clip pink-noise SNR range it draws from; profile
+    (make_patient_profile) pins the patient/device factors all cycles of one
+    recording share.
     """
     n = int(duration * sample_rate)
     x = 0.3 * _breath_noise(rng, n, sample_rate)
@@ -199,14 +228,17 @@ def synth_respiratory_cycle(
         if label in (2, 3):
             x = _add_wheeze(rng, x, sample_rate)
     else:
+        prof = profile or {}
+        scale = float(prof.get("intensity_scale", 1.0))
         # Confusers first — present regardless of class.
-        if rng.uniform() < 0.6:
-            x += rng.uniform(0.05, 0.30) * _heart_sounds(rng, n, sample_rate)
-        if rng.uniform() < 0.25:
+        if rng.uniform() < prof.get("heart_p", 0.6):
+            amp = prof.get("heart_amp", rng.uniform(0.05, 0.30))
+            x += amp * _heart_sounds(rng, n, sample_rate)
+        if rng.uniform() < prof.get("hum_p", 0.25):
             t = np.arange(n) / sample_rate
             hum_f = float(rng.choice([50.0, 60.0]))
             hum = np.sin(2 * np.pi * hum_f * t) + 0.5 * np.sin(2 * np.pi * 3 * hum_f * t)
-            x += rng.uniform(0.01, 0.08) * hum.astype(np.float32)
+            x += prof.get("hum_amp", rng.uniform(0.01, 0.08)) * hum.astype(np.float32)
         # Crackle-like and wheeze-like artifacts in clips WITHOUT that label:
         # transient-ness / tonality alone must not separate the classes.
         if label in (0, 2) and rng.uniform() < 0.25:
@@ -214,16 +246,17 @@ def synth_respiratory_cycle(
         if label in (0, 1) and rng.uniform() < 0.25:
             x = _snore_tone(rng, x, sample_rate)
         if label in (1, 3):
-            x = _add_crackles_hard(rng, x, sample_rate)
+            x = _add_crackles_hard(rng, x, sample_rate, scale=scale)
         if label in (2, 3):
-            x = _add_wheeze_hard(rng, x, sample_rate)
-        # Pink background at a drawn SNR, then a ±12 dB record-gain roll.
-        snr = rng.uniform(*snr_db)
-        noise = _pink_noise(rng, n)
+            x = _add_wheeze_hard(rng, x, sample_rate, scale=scale)
+        # Pink background at a drawn SNR, then a record-gain roll (both
+        # patient-pinned when a profile is given).
+        snr = rng.uniform(*snr_db) + prof.get("snr_bias_db", 0.0)
+        noise = _pink_noise(rng, n, exp=prof.get("noise_exp", 0.5))
         sig_rms = float(np.sqrt(np.mean(x**2))) + 1e-9
         noise_rms = float(np.sqrt(np.mean(noise**2))) + 1e-9
         x = x + noise * (sig_rms / noise_rms) * 10.0 ** (-snr / 20.0)
-        x = x * 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
+        x = x * 10.0 ** (prof.get("gain_db", rng.uniform(-12.0, 0.0)) / 20.0)
     peak = np.abs(x).max()
     if peak > 0.99:
         x = 0.99 * x / peak
@@ -242,23 +275,55 @@ def generate_icbhi_dataset(
     """Write a whole-recording layout dataset: root/audio_and_txt_files/
     {name}.wav + {name}.txt with tab-separated cycle annotations.
 
-    hard=True uses the non-separable regime; class_probs (e.g.
-    ICBHI_CLASS_PROBS) skews the per-cycle label draw (default uniform).
+    hard=True uses the non-separable regime with a per-recording patient
+    profile (make_patient_profile) — the recording's label is drawn from
+    class_probs (default uniform) and its cycles are generated so their OR
+    equals it (recording_label semantics, reference dataset.py:95-130); with
+    the whole-recording dataset's positional split this yields
+    patient-disjoint train/val, like the official ICBHI protocol. Without
+    hard, class_probs skews the independent per-cycle label draw.
     """
     rng = np.random.default_rng(seed)
     audio_dir = Path(root) / "audio_and_txt_files"
     audio_dir.mkdir(parents=True, exist_ok=True)
+
+    def draw_label():
+        if class_probs is not None:
+            return int(rng.choice(4, p=np.asarray(class_probs) / np.sum(class_probs)))
+        return int(rng.integers(0, 4))
+
+    def cycle_labels_for(rec_label: int, k: int) -> list[int]:
+        """k cycle labels whose OR (crackle, wheeze flags) == rec_label."""
+        if rec_label == 0:
+            return [0] * k
+        if rec_label in (1, 2):
+            labs = [rec_label if rng.uniform() < 0.6 else 0 for _ in range(k)]
+            labs[int(rng.integers(0, k))] = rec_label
+            return labs
+        labs = [int(rng.choice([0, 1, 2, 3], p=[0.2, 0.3, 0.3, 0.2])) for _ in range(k)]
+        if not any(l in (1, 3) for l in labs):
+            labs[int(rng.integers(0, k))] = 1
+        if not any(l in (2, 3) for l in labs):
+            candidates = [i for i, l in enumerate(labs) if l not in (1, 3)]
+            i = int(rng.choice(candidates)) if candidates else int(rng.integers(0, k))
+            labs[i] = 3 if labs[i] in (1, 3) else 2
+        return labs
+
     for r in range(num_recordings):
+        profile = make_patient_profile(rng) if hard else None
+        if hard:
+            rec_label = draw_label()
+            labels = cycle_labels_for(rec_label, cycles_per_recording)
+        else:
+            labels = [draw_label() for _ in range(cycles_per_recording)]
         cycles = []
         audio = []
         t0 = 0.0
-        for _ in range(cycles_per_recording):
-            if class_probs is not None:
-                label = int(rng.choice(4, p=np.asarray(class_probs) / np.sum(class_probs)))
-            else:
-                label = int(rng.integers(0, 4))
+        for label in labels:
             dur = float(rng.uniform(1.5, 3.0))
-            audio.append(synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard))
+            audio.append(
+                synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard, profile=profile)
+            )
             crackle = 1 if label in (1, 3) else 0
             wheeze = 1 if label in (2, 3) else 0
             cycles.append((t0, t0 + dur, crackle, wheeze))

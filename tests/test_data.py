@@ -439,3 +439,40 @@ class TestHardSyntheticRegime:
         wavs = list((root / "audio_and_txt_files").glob("*.wav"))
         txts = list((root / "audio_and_txt_files").glob("*.txt"))
         assert len(wavs) == 3 and len(txts) == 3
+
+    def test_hard_recording_label_matches_annotation_or(self, tmp_path):
+        """Hard recordings draw a recording-level label and generate cycles
+        whose OR equals it — the annotation contract recording_label reads
+        (patient-disjoint benchmark relies on this)."""
+        from audio_classification_icbhi_tpu.data.annotations import recording_label
+
+        rng_labels = []
+        root = generate_icbhi_dataset(
+            tmp_path / "rec2", num_recordings=30, cycles_per_recording=3,
+            hard=True, class_probs=ICBHI_CLASS_PROBS, seed=5,
+        )
+        for txt in sorted((root / "audio_and_txt_files").glob("*.txt")):
+            rng_labels.append(recording_label(txt))
+        # skewed draw: normals must dominate, every label reachable by OR
+        assert rng_labels.count(0) > rng_labels.count(3)
+        assert set(rng_labels) <= {0, 1, 2, 3}
+
+    def test_patient_profile_pins_gain(self):
+        """All cycles of one profile share the patient's gain/SNR factors;
+        different profiles differ (the distribution shift under the
+        patient-disjoint split)."""
+        from audio_classification_icbhi_tpu.data.synthetic import make_patient_profile
+
+        rng = np.random.default_rng(0)
+        p1 = make_patient_profile(rng)
+        p2 = make_patient_profile(rng)
+        assert p1 != p2
+        assert set(p1) == {"gain_db", "snr_bias_db", "noise_exp", "heart_p",
+                           "heart_amp", "hum_p", "hum_amp", "intensity_scale"}
+        quiet = dict(p1, gain_db=-40.0)
+        loud = dict(p1, gain_db=0.0)
+        a = synth_respiratory_cycle(np.random.default_rng(3), 0, 1.0, 16000,
+                                    hard=True, profile=quiet)
+        b = synth_respiratory_cycle(np.random.default_rng(3), 0, 1.0, 16000,
+                                    hard=True, profile=loud)
+        assert np.abs(a).max() < 0.2 * np.abs(b).max()
