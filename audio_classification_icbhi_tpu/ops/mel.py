@@ -420,13 +420,31 @@ class MelFrontend:
         return cls(**kwargs)
 
     def _use_pallas(self) -> bool:
-        """Backend choice. Measured on v5e: the fused Pallas kernels win
-        mel-only (13.4k vs 9.7k clips/s) but the XLA paths win the full
-        mel+normalize+CNN pipeline because XLA fuses the downstream
-        consumers. auto therefore picks XLA ("xla_radix2" when eligible)."""
+        """Explicit backend choice; `auto` batch-dependent selection lives in
+        _auto_pallas (it needs the input shape)."""
         if self.backend == "pallas":
             return True
         return False
+
+    def _auto_pallas(self, waveform: jax.Array) -> bool:
+        """Measured auto policy (v5e end-to-end sweep, PARITY.md): the
+        radix2_fused kernel — framing in VMEM, normalize epilogue fused —
+        beats the XLA radix-2 path through the full mel+CNN pipeline once
+        the batch fills the MXU (31.9k vs 30.0k clips/s at batch 128, +10%
+        at 512), while XLA ties or wins below batch 64 and on the un-fused
+        kernel variants. auto therefore selects Pallas only when the fused
+        kernel is eligible, normalize rides inside it, the batch is large,
+        and the backend is a real TPU (Mosaic kernels don't run on CPU)."""
+        if self.backend != "auto" or not self.normalize:
+            return False
+        if waveform.ndim != 2 or waveform.shape[0] < 64:
+            return False
+        if self._pallas_algorithm() != "radix2_fused" or self.n_fft % 4 != 0:
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            return False
 
     def _pallas_algorithm(self) -> str:
         """Best eligible kernel: radix2_fused frames IN VMEM (needs
@@ -496,7 +514,7 @@ class MelFrontend:
         )
 
     def __call__(self, waveform: jax.Array) -> jax.Array:
-        if self._use_pallas():
+        if self._use_pallas() or self._auto_pallas(waveform):
             # normalize rides inside (radix2_fused) or right behind the kernel
             return self._pallas_log_mel(waveform, normalize=self.normalize)
         mel = self.log_mel(waveform)

@@ -76,7 +76,7 @@ def features_from_wavs(
         mel = frontend.log_mel(wavs)
         mel = _augment_spec_batch(k_spec, mel)
         mel = normalize_spectrogram(mel)
-    elif frontend._use_pallas():
+    elif frontend._use_pallas() or frontend._auto_pallas(wavs):
         # no spec-aug between mel and normalize -> the per-example epilogue
         # can run inside the radix2_fused kernel
         mel = frontend._pallas_log_mel(wavs, normalize=True)

@@ -194,10 +194,33 @@ class TestPallasMel:
 
     def test_frontend_backend_selection(self):
         fe_auto = mel_ops.MelFrontend()
-        assert not fe_auto._use_pallas()  # auto = XLA (faster end-to-end)
+        assert not fe_auto._use_pallas()  # auto: shape-dependent, see below
         assert mel_ops.MelFrontend(backend="pallas")._use_pallas()
         assert not mel_ops.MelFrontend(backend="xla")._use_pallas()
         # backend participates in the static hash (jit cache key)
         assert hash(mel_ops.MelFrontend(backend="xla")) != hash(
             mel_ops.MelFrontend(backend="pallas")
+        )
+
+    def test_auto_policy_conditions(self, monkeypatch):
+        """auto picks the fused Pallas kernel only for the measured-win
+        regime: radix2_fused-eligible shape, batch >= 64, normalize fused,
+        real TPU backend (PARITY.md sweep)."""
+        fe = mel_ops.MelFrontend()  # 2048/512: radix2_fused-eligible
+        big = jnp.zeros((64, 80000), jnp.float32)
+        # on the CPU test backend the platform guard must keep auto on XLA
+        assert not fe._auto_pallas(big)
+
+        class FakeDev:
+            platform = "tpu"
+
+        monkeypatch.setattr(mel_ops.jax, "devices", lambda: [FakeDev()])
+        assert fe._auto_pallas(big)
+        assert not fe._auto_pallas(big[:32])          # batch below the knee
+        assert not fe._auto_pallas(big[0])            # unbatched
+        assert not mel_ops.MelFrontend(backend="xla")._auto_pallas(big)
+        assert not mel_ops.MelFrontend(normalize=False)._auto_pallas(big)
+        # hop % 256 != 0 -> not radix2_fused-eligible
+        assert not mel_ops.MelFrontend(hop_length=500)._auto_pallas(
+            jnp.zeros((64, 80000), jnp.float32)
         )
