@@ -43,7 +43,7 @@ class ClassifierEngine:
         self.frontend = MelFrontend.from_config(self.config)
         self.model = build_model(self.config)
         # bind restored state onto a template of the right pytree structure
-        # (template init on CPU: eager init is slow through the TPU tunnel)
+        # (one jitted init program: eager init is slow through the TPU tunnel)
         from audio_classification_icbhi_tpu.models.registry import init_variables
 
         template = init_variables(

@@ -442,7 +442,11 @@ class MelFrontend:
         if self._pallas_algorithm() != "radix2_fused" or self.n_fft % 4 != 0:
             return False
         try:
-            return jax.devices()[0].platform == "tpu"
+            # honor an active jax.default_device(...) override — the Mosaic
+            # kernel must not be emitted for a CPU-placed computation on a
+            # TPU host
+            dev = jax.config.jax_default_device or jax.devices()[0]
+            return getattr(dev, "platform", None) == "tpu"
         except RuntimeError:
             return False
 

@@ -65,6 +65,11 @@ def local_batch_slice(global_batch: int, axis_name: str = DATA_AXIS) -> slice:
     """This host's slice of a globally-sharded batch (per-host input
     sharding: each host feeds only its local devices' rows)."""
     n_proc = jax.process_count()
+    if global_batch % n_proc:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count "
+            f"{n_proc}: rows would be silently dropped"
+        )
     per_host = global_batch // n_proc
     start = jax.process_index() * per_host
     return slice(start, start + per_host)

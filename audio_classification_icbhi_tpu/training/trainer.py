@@ -130,7 +130,8 @@ class Trainer:
             dynamic_loss_scale=self.dynamic_loss_scale,
         )
 
-        # Parameter/optimizer initialization (on CPU — see init_variables).
+        # Parameter/optimizer initialization (one jitted program on the
+        # compute device — see init_variables).
         from audio_classification_icbhi_tpu.models.registry import init_variables
 
         self.root_key = jax.random.PRNGKey(config.get("seed", 42))

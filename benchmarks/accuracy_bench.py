@@ -112,7 +112,7 @@ LAYOUTS = {
 }
 
 
-def make_dataset(layout: str, root: Path, total: int, seed: int) -> Path:
+def make_dataset(layout: str, root: Path, total: int, seed: int, duration: float) -> Path:
     from audio_classification_icbhi_tpu.data.synthetic import (
         ICBHI_CLASS_PROBS,
         generate_icbhi_dataset,
@@ -128,7 +128,7 @@ def make_dataset(layout: str, root: Path, total: int, seed: int) -> Path:
     t0 = time.time()
     if layout == "segmented":
         generate_segmented_dataset(
-            root, duration=3.0, seed=seed, hard=True,
+            root, duration=duration, seed=seed, hard=True,
             class_counts=icbhi_class_counts(total),
         )
     else:
@@ -223,6 +223,17 @@ def _table(rows: list[dict]) -> list[str]:
     return lines
 
 
+def _mean_full(rows: list[dict]) -> dict | None:
+    """Seed-mean of the full-recipe arm's headline metrics (for prose)."""
+    fulls = [r for r in rows if r["arm"] == "full"]
+    if not fulls:
+        return None
+    return {
+        "val_acc_at_best_pct": float(np.mean([r["val_acc_at_best_pct"] for r in fulls])),
+        "best_icbhi": float(np.mean([r["best_icbhi"] for r in fulls])),
+    }
+
+
 def write_report(results: list[dict], args, out: Path) -> None:
     import jax
 
@@ -252,13 +263,14 @@ def write_report(results: list[dict], args, out: Path) -> None:
             "",
             "## Random per-cycle split (the reference's protocol)",
             "",
-            f"{LAYOUTS['segmented']['total']} clips, seed-42 shuffled 70/15/15 "
-            f"split, 3 s @ 16 kHz, {seg[0]['epochs']} epochs. Train and val "
-            "share patients — no distribution shift.",
+            f"{seg[0].get('total', LAYOUTS['segmented']['total'])} clips, "
+            f"seed-42 shuffled 70/15/15 split, 3 s @ 16 kHz, "
+            f"{seg[0]['epochs']} epochs. Train and val share patients — no "
+            "distribution shift.",
             "",
             *_table(seg),
         ]
-        full = next((r for r in seg if r["arm"] == "full"), None)
+        full = _mean_full(seg)
         if full:
             lines += [
                 "",
@@ -279,8 +291,9 @@ def write_report(results: list[dict], args, out: Path) -> None:
             "",
             "## Patient-disjoint whole recordings (official-style protocol)",
             "",
-            f"{LAYOUTS['recording']['total']} recordings (one cycle + one "
-            "patient profile each), positional 70/15/15 split (train and val "
+            f"{rec[0].get('total', LAYOUTS['recording']['total'])} recordings "
+            "(one cycle + one patient profile each), positional 70/15/15 "
+            "split (train and val "
             f"patients disjoint), 3 s @ 16 kHz, {rec[0]['epochs']} epochs, "
             f"{LAYOUTS['recording']['warmup_epochs']}-epoch LR warmup (the "
             "weighted arms cold-start-collapse without it). The profile "
@@ -291,7 +304,7 @@ def write_report(results: list[dict], args, out: Path) -> None:
             "",
             *_table(rec),
         ]
-        fullr = next((r for r in rec if r["arm"] == "full"), None)
+        fullr = _mean_full(rec)
         if fullr:
             lines += [
                 "",
@@ -364,8 +377,11 @@ def main():
             if args.data:
                 data_root = Path(args.data)
             else:
+                # dir keyed by every generation parameter: a --total change
+                # must never mix files with a previous run's dataset
                 data_root = make_dataset(
-                    layout, workdir / f"hard_{layout}_{seed}", total, seed
+                    layout, workdir / f"hard_{layout}_{total}_{seed}", total,
+                    seed, lcfg["duration"],
                 )
             for arm in args.arms.split(","):
                 arm = arm.strip()
@@ -380,6 +396,7 @@ def main():
                 print(f"\n===== layout: {layout} | arm: {arm} | seed: {seed} =====")
                 r = run_arm(layout, arm, config, data_root, workdir / f"s{seed}")
                 r["seed"] = seed
+                r["total"] = total
                 results.append(r)
 
     from audio_classification_icbhi_tpu.utils.plotting import plot_icbhi_history
