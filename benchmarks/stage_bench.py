@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Stage decomposition of the north-star pipeline at the bench batch size.
+
+Times three jitted programs with bench.py's tunnel-measurement hygiene:
+
+- mel:    wav -> normalized log-mel image (the DSP front end alone)
+- cnn:    mel image -> logits (the classifier alone)
+- full:   wav -> logits (what bench.py measures)
+
+full < mel + cnn is the fusion dividend; the larger stage is where further
+kernel work pays. Run on the TPU: python benchmarks/stage_bench.py
+[--batch 128] [--backend auto].
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def measure(fn, inputs, batch: int) -> float:
+    """Best-of-3-windows clips/s (same hygiene as bench.py: device-resident
+    rotating inputs, real data fetch at the window end)."""
+    for w in inputs:
+        float(np.asarray(fn(w)).ravel()[0])
+
+    def timed_window(reps):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = fn(inputs[i % len(inputs)])
+        float(np.asarray(out).ravel()[0])
+        return time.perf_counter() - t0
+
+    reps = 6
+    while True:
+        dt = timed_window(reps)
+        if dt > 1.0 or reps >= 192:
+            break
+        reps *= 2
+    dt = min(dt, timed_window(reps), timed_window(reps))
+    return batch * reps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--backend", type=str, default="auto")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_classification_icbhi_tpu.models import LightweightCNN
+    from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+    from audio_classification_icbhi_tpu.parallel.data_parallel import features_from_wavs
+
+    frontend = MelFrontend(sample_rate=16000, n_mels=128, n_fft=2048,
+                           hop_length=512, duration=5.0, backend=args.backend)
+    model = LightweightCNN(num_classes=4, dtype=jnp.bfloat16)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu)
+    except RuntimeError:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+
+    mel_fn = jax.jit(lambda w: features_from_wavs(frontend, w))
+    cnn_fn = jax.jit(lambda m: model.apply(variables, m, train=False))
+    full_fn = jax.jit(
+        lambda w: model.apply(variables, features_from_wavs(frontend, w), train=False)
+    )
+
+    rng = np.random.default_rng(0)
+    wavs = [
+        jnp.asarray(rng.standard_normal((args.batch, frontend.target_length)).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    mels = [mel_fn(w) for w in wavs]
+    jax.block_until_ready(mels)
+
+    rows = {}
+    for name, fn, inp in (("mel", mel_fn, wavs), ("cnn", cnn_fn, mels), ("full", full_fn, wavs)):
+        cps = measure(fn, inp, args.batch)
+        rows[name] = cps
+        print(f"{name:5s} {cps:10,.0f} clips/s   {1e3 * args.batch / cps:7.3f} ms/batch")
+    fused_ms = 1e3 * args.batch / rows["full"]
+    sum_ms = 1e3 * args.batch * (1 / rows["mel"] + 1 / rows["cnn"])
+    print(f"fusion dividend: mel+cnn {sum_ms:.3f} ms vs full {fused_ms:.3f} ms "
+          f"({100 * (sum_ms - fused_ms) / sum_ms:+.1f}% incl. saved dispatch)")
+
+
+if __name__ == "__main__":
+    main()
