@@ -264,7 +264,7 @@ def write_report(results: list[dict], args, out: Path) -> None:
             "## Random per-cycle split (the reference's protocol)",
             "",
             f"{seg[0].get('total', LAYOUTS['segmented']['total'])} clips, "
-            f"seed-42 shuffled 70/15/15 split, 3 s @ 16 kHz, "
+            f"seed-shuffled 70/15/15 split, 3 s @ 16 kHz, "
             f"{seg[0]['epochs']} epochs. Train and val share patients — no "
             "distribution shift.",
             "",
@@ -322,8 +322,11 @@ def write_report(results: list[dict], args, out: Path) -> None:
                 "the minority classes' irreducibly-ambiguous faint tail. "
                 "Both mechanisms are properties of this synthetic regime "
                 "(real ICBHI adventitious sounds span most of the cycle, so "
-                "masks rarely delete all evidence). The benchmark's job is "
-                "exactly this: per-component effect sizes under a controlled "
+                "masks rarely delete all evidence). A large std on a "
+                "weighted arm is the weighted loss's cold-start instability "
+                "under shift surfacing on one seed — warmup mitigates but "
+                "does not eliminate it. The benchmark's job is exactly "
+                "this: per-component effect sizes under a controlled "
                 "patient shift — rerun with `--data` on the real corpus to "
                 "measure the recipe where it was designed.",
             ]
