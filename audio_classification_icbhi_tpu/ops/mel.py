@@ -428,16 +428,16 @@ class MelFrontend:
 
     def _auto_pallas(self, waveform: jax.Array) -> bool:
         """Measured auto policy (v5e end-to-end sweep, PARITY.md): the
-        radix2_fused kernel — framing in VMEM, normalize epilogue fused —
-        beats the XLA radix-2 path through the full mel+CNN pipeline once
-        the batch fills the MXU (31.9k vs 30.0k clips/s at batch 128, +10%
-        at 512), while XLA ties or wins below batch 64 and on the un-fused
-        kernel variants. auto therefore selects Pallas only when the fused
-        kernel is eligible, normalize rides inside it, the batch is large,
-        and the backend is a real TPU (Mosaic kernels don't run on CPU)."""
+        radix2_fused kernel — framing in VMEM, normalize epilogue fused,
+        3-pass bf16 DFT decomposition — beats the XLA radix-2 path through
+        the full mel+CNN pipeline at every batch size (37.1k vs 30.0k
+        clips/s at batch 128, +6-7% at batch 8-32). auto therefore selects
+        Pallas whenever the fused kernel is eligible, normalize rides
+        inside it, and the backend is a real TPU (Mosaic kernels don't run
+        on CPU)."""
         if self.backend != "auto" or not self.normalize:
             return False
-        if waveform.ndim != 2 or waveform.shape[0] < 64:
+        if waveform.ndim != 2:
             return False
         if self._pallas_algorithm() != "radix2_fused" or self.n_fft % 4 != 0:
             return False

@@ -204,8 +204,8 @@ class TestPallasMel:
 
     def test_auto_policy_conditions(self, monkeypatch):
         """auto picks the fused Pallas kernel only for the measured-win
-        regime: radix2_fused-eligible shape, batch >= 64, normalize fused,
-        real TPU backend (PARITY.md sweep)."""
+        regime: radix2_fused-eligible shape, batched input, normalize
+        fused, real TPU backend (PARITY.md sweep)."""
         fe = mel_ops.MelFrontend()  # 2048/512: radix2_fused-eligible
         big = jnp.zeros((64, 80000), jnp.float32)
         # on the CPU test backend the platform guard must keep auto on XLA
@@ -216,7 +216,7 @@ class TestPallasMel:
 
         monkeypatch.setattr(mel_ops.jax, "devices", lambda: [FakeDev()])
         assert fe._auto_pallas(big)
-        assert not fe._auto_pallas(big[:32])          # batch below the knee
+        assert fe._auto_pallas(big[:8])               # wins at small batch too
         assert not fe._auto_pallas(big[0])            # unbatched
         assert not mel_ops.MelFrontend(backend="xla")._auto_pallas(big)
         assert not mel_ops.MelFrontend(normalize=False)._auto_pallas(big)
