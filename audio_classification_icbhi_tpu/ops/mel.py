@@ -439,7 +439,7 @@ class MelFrontend:
             return False
         if waveform.ndim != 2:
             return False
-        if self._pallas_algorithm() != "radix2_fused" or self.n_fft % 4 != 0:
+        if self._pallas_algorithm() not in ("radix2_fused", "radix4_fused"):
             return False
         try:
             # honor an active jax.default_device(...) override — the Mosaic
@@ -451,14 +451,18 @@ class MelFrontend:
             return False
 
     def _pallas_algorithm(self) -> str:
-        """Best eligible kernel: radix2_fused frames IN VMEM (needs
-        n_fft % hop == 0 like frame_signal, plus hop % 256 == 0 so the
-        in-kernel lane slices stay 128-aligned) and fuses the per-example
-        epilogue; radix2 needs only n_fft % 4 == 0; bf16x3 is the general
-        fallback."""
+        """Best eligible kernel: the fused kernels frame IN VMEM (need
+        n_fft % hop == 0 like frame_signal, plus lane-aligned per-stream
+        hops — hop % 512 == 0 for radix-4's four streams, hop % 256 == 0
+        for radix-2's two) and fuse the per-example epilogue; radix4_fused
+        quarters the dense DFT matmuls (vs radix2's half); radix2 needs
+        only n_fft % 4 == 0; bf16x3 is the general fallback."""
         if self.n_fft % 4 == 0:
-            if self.n_fft % self.hop_length == 0 and self.hop_length % 256 == 0:
-                return "radix2_fused"
+            if self.n_fft % self.hop_length == 0:
+                if self.n_fft % 8 == 0 and self.hop_length % 512 == 0:
+                    return "radix4_fused"
+                if self.hop_length % 256 == 0:
+                    return "radix2_fused"
             return "radix2"
         return "bf16x3"
 

@@ -157,6 +157,81 @@ def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _constants_radix4(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
+                      f_min: float = 0.0, f_max: float | None = None):
+    """Radix-4 decimation-in-time constants (the radix-2 trick applied twice).
+
+    The n_fft-point windowed rDFT splits into FOUR (n_fft/4)-point real DFTs
+    over the mod-4 sample streams (window folded per stream), QUARTERING the
+    dense matmul FLOPs vs the full DFT (half of radix-2); only the
+    q/2+1 = 257 unique bins of each real sub-DFT are computed. The full
+    1025-bin power spectrum is reconstructed in four jp-indexed regions —
+
+        A: k = jp          (jp = 0..256)
+        B: k = 512 - jp    (jp = 1..255,  conjugated sub-spectra)
+        C: k = 512 + jp    (jp = 0..256)
+        D: k = 1024 - jp   (jp = 0..255,  conjugated; jp=0 is Nyquist)
+
+    — with X(k) = sum_j e^(-2*pi*i*j*k/n_fft) S_j(k mod q) and conjugate
+    symmetry S_j(q - f) = conj(S_j(f)) folded HOST-SIDE into per-region
+    twiddle vectors and pre-permuted mel matrices (fb_r[jp] = fb[k_r(jp)]),
+    so the kernel never reverses lanes — the same construction that builds
+    radix-2's fb_hi, one level deeper. Verified exact (2e-14 vs rfft) in
+    numpy before kerneling.
+
+    Returns (dft, tw, fbs): dft = 8 hi/lo-split (q, nb_pad) matrices
+    (cos, sin per stream), tw = (24, nb_pad) f32 rows laid out as
+    [region*6 + (j-1)] = cos twiddles and [region*6 + 3 + (j-1)] = sin
+    twiddles for j = 1..3 (j=0's twiddle is 1), fbs = (4, nb_pad, m_pad).
+    """
+    q = n_fft // 4
+    nb4 = q // 2 + 1
+    m = np.arange(q)
+    f = np.arange(nb4)
+    ang = 2.0 * np.pi * np.outer(m, f) / q
+    n = np.arange(n_fft)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    nb_pad = _round_up(nb4, 128)
+    m_pad = _round_up(n_mels, 128)
+
+    def padk(x):
+        out = np.zeros((q, nb_pad), np.float32)
+        out[:, :nb4] = x
+        return out
+
+    dft = []
+    for j in range(4):
+        wj = w[j::4][:, None]
+        dft.append(_split_bf16(padk(wj * np.cos(ang))))
+        dft.append(_split_bf16(padk(wj * np.sin(ang))))
+
+    fb = np.asarray(
+        mel_ops._mel_filterbank_np(
+            sample_rate, n_fft, n_mels, float(f_min),
+            sample_rate / 2.0 if f_max is None else float(f_max),
+            mel_scale, norm)
+    ).astype(np.float64)
+
+    half = n_fft // 2
+    regions = (
+        (lambda jp: jp, range(0, nb4)),
+        (lambda jp: q - jp, range(1, nb4 - 1)),
+        (lambda jp: q + jp, range(0, nb4)),
+        (lambda jp: half - jp, range(0, nb4 - 1)),
+    )
+    tw = np.zeros((24, nb_pad), np.float32)
+    fbs = np.zeros((4, nb_pad, m_pad), np.float32)
+    for r, (kof, jps) in enumerate(regions):
+        for jp in jps:
+            k = kof(jp)
+            for j in (1, 2, 3):
+                tw[r * 6 + (j - 1), jp] = np.cos(2.0 * np.pi * j * k / n_fft)
+                tw[r * 6 + 3 + (j - 1), jp] = np.sin(2.0 * np.pi * j * k / n_fft)
+            fbs[r, jp, :n_mels] = fb[k]
+    return tuple(dft), tw, fbs
+
+
 def _dot_f32(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -428,6 +503,146 @@ def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
 
 
+def _kernel_radix4_fused(w0_ref, w1_ref, w2_ref, w3_ref,
+                         c0_ref, s0_ref, c1_ref, s1_ref,
+                         c2_ref, s2_ref, c3_ref, s3_ref,
+                         tw_ref, fbs_ref, out_ref, *,
+                         t: int, t_pad: int, pieces: int, hh: int, n_mels: int,
+                         normalize: bool, top_db: float | None, eps: float,
+                         passes: int = 3):
+    """Grid: (B,) — one whole example per cell, radix-4 DFT decomposition.
+
+    Same in-VMEM framing and per-example epilogue as _kernel_radix2_fused,
+    but over FOUR mod-4 sample streams (hh = hop/4 per-stream hop, 128-lane
+    aligned at hop % 512 == 0), so the dense DFT matmuls are quarter-size
+    (8 x (t, q)@(q, nb4) vs the full DFT's (t, n_fft)@(n_fft, n_fft/2+1)).
+    The 1025-bin power spectrum is rebuilt in four regions from host-side
+    twiddle vectors; conjugate symmetry rides in the region constants and
+    pre-permuted mel matrices (_constants_radix4), so no in-kernel lane
+    reversal is needed.
+    """
+    def frames_of(ref):
+        x = ref[0]
+        return jnp.concatenate(
+            [jnp.reshape(x[:, s * hh : (s + t_pad) * hh], (t_pad, hh))
+             for s in range(pieces)],
+            axis=1,
+        )
+
+    P = []
+    Q = []
+    for wref, cref, sref in ((w0_ref, c0_ref, s0_ref), (w1_ref, c1_ref, s1_ref),
+                             (w2_ref, c2_ref, s2_ref), (w3_ref, c3_ref, s3_ref)):
+        fr = frames_of(wref)
+        f_hi = fr.astype(jnp.bfloat16)
+        f_lo = (fr - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        P.append(_dot_hilo(f_hi, f_lo, cref, passes))
+        Q.append(_dot_hilo(f_hi, f_lo, sref, passes))
+
+    tw = tw_ref[:]
+    mel = None
+    for r in range(4):
+        conj = r in (1, 3)
+        # j = 0 term: twiddle is 1 (S_0 enters directly)
+        re = P[0]
+        im = Q[0] if conj else -Q[0]
+        for j in (1, 2, 3):
+            c = tw[r * 6 + (j - 1), :]
+            s = tw[r * 6 + 3 + (j - 1), :]
+            if conj:      # t_j(k) * conj(S_j) with t = c - i*s, S = P - i*Q
+                re = re + c * P[j] + s * Q[j]
+                im = im + c * Q[j] - s * P[j]
+            else:         # t_j(k) * S_j
+                re = re + c * P[j] - s * Q[j]
+                im = im - c * Q[j] - s * P[j]
+        power = re * re + im * im
+        part = _dot_f32(power, fbs_ref[r])
+        mel = part if mel is None else mel + part
+
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    if top_db is not None or normalize:
+        rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
+        valid = (rows < t) & (cols < n_mels)
+        if top_db is not None:
+            peak = jnp.max(jnp.where(valid, db, -jnp.inf))
+            db = jnp.maximum(db, peak - top_db)
+        if normalize:
+            n = t * n_mels
+            mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
+            centered = jnp.where(valid, db - mean, 0.0)
+            var = jnp.sum(centered * centered) / max(n - 1, 1)
+            db = (db - mean) / (jnp.sqrt(var) + eps)
+    out_ref[0] = db
+
+
+def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
+                          mel_scale, norm, interpret: bool,
+                          f_min: float = 0.0, f_max: float | None = None,
+                          top_db: float | None = None,
+                          normalize: bool = False, eps: float = 1e-8,
+                          dft_passes: int = 3):
+    if n_fft % 8:
+        raise ValueError("radix4_fused requires n_fft divisible by 8")
+    if n_fft % hop_length:
+        raise ValueError("radix4_fused requires n_fft divisible by hop_length")
+    if (hop_length // 4) % 128:
+        # per-stream framing slices at hop/4 lane offsets; Mosaic needs them
+        # 128-aligned (production 2048/512 -> hh=128 ok)
+        raise ValueError("radix4_fused requires hop_length % 512 == 0")
+    b, length = waveform.shape
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    pieces = n_fft // hop_length
+    hh = hop_length // 4
+    t_pad = _round_up(t, 8)
+    rows_in = t_pad + pieces - 1
+    need = rows_in * hh
+    # torch.stft center=True semantics; n_fft//2 % 4 == 0 so stream parity
+    # alignment survives the shift.
+    x = stft_ops.reflect_pad(waveform, n_fft // 2)
+    if x.shape[-1] % 4:
+        x = jnp.pad(x, ((0, 0), (0, 4 - x.shape[-1] % 4)))
+    quarter = x.reshape(b, x.shape[-1] // 4, 4)
+    streams = [quarter[:, :, j] for j in range(4)]
+    if need > streams[0].shape[-1]:
+        pad = need - streams[0].shape[-1]
+        streams = [jnp.pad(s, ((0, 0), (0, pad))) for s in streams]
+    streams = [s[:, :need].reshape(b, 1, need) for s in streams]
+
+    dft, tw, fbs = _constants_radix4(
+        sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
+    )
+    q = n_fft // 4
+    nb_pad = dft[0].shape[2]
+    m_pad = fbs.shape[2]
+
+    const3 = lambda: pl.BlockSpec((2, q, nb_pad), lambda bi: (0, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_radix4_fused, t=t, t_pad=t_pad, pieces=pieces, hh=hh,
+            n_mels=n_mels, normalize=normalize, top_db=top_db, eps=eps,
+            passes=dft_passes,
+        ),
+        grid=(b,),
+        in_specs=[
+            *[pl.BlockSpec((1, 1, need), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(4)],
+            *[const3() for _ in range(8)],
+            pl.BlockSpec((24, nb_pad), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nb_pad, m_pad), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, m_pad), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*streams, *(jnp.asarray(x) for x in dft),
+      jnp.asarray(tw), jnp.asarray(fbs))
+    return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
+
+
 def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
                     mel_scale, norm, tile_r: int, interpret: bool,
                     f_min: float = 0.0, f_max: float | None = None,
@@ -488,7 +703,7 @@ def log_mel_pallas(
     top_db: float | None = None,
     mel_scale: str = "htk",
     norm: str | None = None,
-    algorithm: str = "radix2",  # "radix2_fused" | "radix2" | "bf16x3" | "f32"
+    algorithm: str = "radix2",  # "radix4_fused" | "radix2_fused" | "radix2" | "bf16x3" | "f32"
     normalize: bool = False,
     tile_t: int = 64,
     f_tile: int = 512,
@@ -528,6 +743,13 @@ def log_mel_pallas(
 
         return normalize_spectrogram(db)
 
+    if algorithm == "radix4_fused":
+        return _log_mel_radix4_fused(
+            waveform, sample_rate, n_fft, hop_length, n_mels,
+            mel_scale, norm, interpret=interpret,
+            f_min=f_min, f_max=f_max, top_db=top_db, normalize=normalize,
+            dft_passes=dft_passes,
+        )
     if algorithm == "radix2_fused":
         if n_fft % 4:
             raise ValueError("radix2_fused requires n_fft divisible by 4")

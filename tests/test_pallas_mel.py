@@ -138,9 +138,63 @@ class TestPallasMel:
             got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1e-3
         )
 
+    def test_radix4_fused_within_parity_budget(self, wav):
+        """radix4_fused: four mod-4 streams, quarter-size DFT matmuls,
+        region-folded conjugate symmetry (host-side pre-permuted constants,
+        no in-kernel lane reversal)."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1.5e-3)
+
+    def test_radix4_fused_noise_odd_batch_and_length(self, rng):
+        n = (0.1 * rng.standard_normal((3, SR + 320))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(n), atol=1.5e-3)
+
+    def test_radix4_fused_normalize_and_top_db_epilogue(self, wav):
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4_fused", normalize=True,
+                           top_db=60.0, interpret=True)
+        )
+        want = mel_ops.normalize_spectrogram(
+            jnp.asarray(xla_ref(wav, top_db=60.0))
+        )
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-3)
+
+    def test_radix4_fused_f_min_f_max(self, wav):
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           f_min=50.0, f_max=4000.0,
+                           algorithm="radix4_fused", interpret=True)
+        )
+        np.testing.assert_allclose(
+            got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1.5e-3
+        )
+
+    def test_radix4_fused_ineligible_shapes_raise(self):
+        wav = jnp.zeros((2, SR), jnp.float32)
+        with pytest.raises(ValueError, match="hop_length % 512"):
+            log_mel_pallas(wav, SR, 2048, 256, N_MELS,
+                           algorithm="radix4_fused", interpret=True)
+        with pytest.raises(ValueError, match="divisible by hop"):
+            log_mel_pallas(wav, SR, 2048, 640, N_MELS,
+                           algorithm="radix4_fused", interpret=True)
+
     def test_frontend_pallas_algorithm_selection(self):
         fe = mel_ops.MelFrontend(backend="pallas")
-        assert fe._pallas_algorithm() == "radix2_fused"
+        assert fe._pallas_algorithm() == "radix4_fused"  # 2048/512 eligible
+        # hop % 512 != 0 -> radix-4's four streams can't lane-align, but
+        # radix-2's two can
+        assert (
+            mel_ops.MelFrontend(backend="pallas", n_fft=1024, hop_length=256)
+            ._pallas_algorithm() == "radix2_fused"
+        )
         # hop not dividing n_fft -> no in-kernel framing
         assert (
             mel_ops.MelFrontend(backend="pallas", hop_length=500)._pallas_algorithm()
