@@ -426,16 +426,21 @@ class MelFrontend:
             return True
         return False
 
-    def _auto_pallas(self, waveform: jax.Array) -> bool:
+    def _auto_pallas(self, waveform: jax.Array, *, need_normalize: bool = True) -> bool:
         """Measured auto policy (v5e end-to-end sweep, PARITY.md): the
-        radix2_fused kernel — framing in VMEM, normalize epilogue fused,
-        3-pass bf16 DFT decomposition — beats the XLA radix-2 path through
-        the full mel+CNN pipeline at every batch size (37.1k vs 30.0k
-        clips/s at batch 128, +6-7% at batch 8-32). auto therefore selects
-        Pallas whenever the fused kernel is eligible, normalize rides
-        inside it, and the backend is a real TPU (Mosaic kernels don't run
-        on CPU)."""
-        if self.backend != "auto" or not self.normalize:
+        fused kernels — framing in VMEM, quarter/half-size DFT matmuls,
+        3-pass bf16 decomposition, normalize epilogue fused when nothing
+        sits between mel and normalize — beat the XLA radix-2 path through
+        the full mel+CNN pipeline at every batch size (45.4k vs 29.9k
+        clips/s at batch 128, +23% at batch 8). auto therefore selects
+        Pallas whenever a fused kernel is eligible and the backend is a
+        real TPU (Mosaic kernels don't run on CPU). need_normalize=False
+        is the bare log_mel call (spec-aug rides between mel and normalize
+        on the augmented training path): the kernel still wins on DFT time
+        alone, the epilogue just runs outside."""
+        if self.backend != "auto":
+            return False
+        if need_normalize and not self.normalize:
             return False
         if waveform.ndim != 2:
             return False
@@ -480,7 +485,7 @@ class MelFrontend:
     def log_mel(self, waveform: jax.Array) -> jax.Array:
         """Un-normalized log-mel (..., n_mels, T) — the point in the chain
         where SpecAugment applies (reference preprocessing.py:139-146)."""
-        if self._use_pallas():
+        if self._use_pallas() or self._auto_pallas(waveform, need_normalize=False):
             return self._pallas_log_mel(waveform, normalize=False)
         if self._use_xla_radix2():
             mel = _log_mel_radix2_xla(
