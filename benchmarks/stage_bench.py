@@ -27,15 +27,26 @@ sys.path.insert(0, str(REPO))
 
 def measure(fn, inputs, batch: int) -> float:
     """Best-of-3-windows clips/s (same hygiene as bench.py: device-resident
-    rotating inputs, real data fetch at the window end)."""
-    for w in inputs:
-        float(np.asarray(fn(w)).ravel()[0])
+    rotating inputs, real data fetch at the window end).
+
+    The window-ending fetch must be a SCALAR: fetching one element of a
+    large array transfers the whole buffer through the tunnel (~27 MB/s —
+    a 41 MB mel batch costs 1.5 s, dwarfing its 10 ms compute), so fn's
+    output is reduced on-device first.
+    """
+    import jax
+
+    red = jax.jit(lambda w: fn(w).sum())
+    for w in inputs:  # compile + force completion of BOTH programs
+        fn(w)
+        float(np.asarray(red(w)))
 
     def timed_window(reps):
         t0 = time.perf_counter()
-        for i in range(reps):
-            out = fn(inputs[i % len(inputs)])
-        float(np.asarray(out).ravel()[0])
+        for i in range(reps - 1):
+            fn(inputs[i % len(inputs)])
+        out = red(inputs[(reps - 1) % len(inputs)])
+        float(np.asarray(out))
         return time.perf_counter() - t0
 
     reps = 6
