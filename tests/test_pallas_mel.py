@@ -177,6 +177,19 @@ class TestPallasMel:
             got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1.5e-3
         )
 
+    def test_radix4_fused_group4_batch(self, rng):
+        """batch 8 -> 4 examples per grid cell; per-example epilogue must
+        stay per-example (each clip normalized against its own stats)."""
+        n = (0.1 * rng.standard_normal((8, SR))).astype(np.float32)
+        n[3] *= 20.0  # one loud clip must not leak into neighbours' stats
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4_fused", normalize=True,
+                           interpret=True)
+        )
+        want = np.asarray(mel_ops.normalize_spectrogram(jnp.asarray(xla_ref(n))))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
     def test_radix4_fused_ineligible_shapes_raise(self):
         wav = jnp.zeros((2, SR), jnp.float32)
         with pytest.raises(ValueError, match="hop_length % 512"):
