@@ -211,7 +211,7 @@ def _constants_radix4(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
             sample_rate, n_fft, n_mels, float(f_min),
             sample_rate / 2.0 if f_max is None else float(f_max),
             mel_scale, norm)
-    ).astype(np.float64)
+    )
 
     half = n_fft // 2
     regions = (
@@ -352,6 +352,43 @@ def _kernel_radix2(e_ref, o_ref, ce_ref, se_ref, co_ref, so_ref,
     out_ref[:] = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
 
+def _vmem_frames(x, t_pad: int, hh: int, pieces: int):
+    """In-VMEM framing of a (1, need) sample-stream lane vector: frame f is
+    the hh-sized chunks f..f+pieces-1, assembled as `pieces` lane-aligned
+    slices reshaped to (t_pad, hh) and lane-concatenated. Sublane-shifted
+    slices would be the natural phrasing but Mosaic rejects their concat
+    ("offset mismatch on non-concat dimension"); lane-offset slices at
+    hh % 128 == 0 are relayout-free."""
+    return jnp.concatenate(
+        [jnp.reshape(x[:, s * hh : (s + t_pad) * hh], (t_pad, hh))
+         for s in range(pieces)],
+        axis=1,
+    )
+
+
+def _fused_epilogue(db, t: int, n_mels: int, normalize: bool,
+                    top_db: float | None, eps: float):
+    """Per-example epilogue on a (t_pad, m_pad) dB block: top_db clip
+    against the example peak and zero-mean/unit-var normalize
+    (ops.mel.normalize_spectrogram semantics), masked to the valid
+    (t, n_mels) region. Variance is unbiased (ddof=1) to match torch.std."""
+    if top_db is None and not normalize:
+        return db
+    rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
+    valid = (rows < t) & (cols < n_mels)
+    if top_db is not None:
+        peak = jnp.max(jnp.where(valid, db, -jnp.inf))
+        db = jnp.maximum(db, peak - top_db)
+    if normalize:
+        n = t * n_mels
+        mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
+        centered = jnp.where(valid, db - mean, 0.0)
+        var = jnp.sum(centered * centered) / max(n - 1, 1)
+        db = (db - mean) / (jnp.sqrt(var) + eps)
+    return db
+
+
 def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
                          cj_ref, sj_ref, fblo_ref, fbhi_ref, out_ref, *,
                          t: int, t_pad: int, pieces: int, hh: int, n_mels: int,
@@ -359,30 +396,18 @@ def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
                          passes: int = 3):
     """Grid: (B,) — one whole example per cell.
 
-    Framing happens IN VMEM: the inputs are the example's even/odd sample
-    streams as lane vectors (1, need); frame f's even half is the hop-sized
-    chunks f..f+pieces-1, assembled as `pieces` lane-aligned slices reshaped
-    to (t_pad, hop/2) and lane-concatenated — so frame overlap never
-    materializes the (B*T, n_fft) frames tensor in HBM (~4x the waveform at
-    hop = n_fft/4). Sublane-shifted slices would be the natural phrasing but
-    Mosaic rejects their concat ("offset mismatch on non-concat dimension");
-    lane-offset slices at hop/2 % 128 == 0 are relayout-free. Because the
-    full example's mel lives in VMEM, the per-example epilogue (top_db clip
-    against the example peak, zero-mean/unit-var normalize) fuses here too,
-    instead of costing extra HBM passes after the kernel.
+    Framing happens IN VMEM (_vmem_frames over the example's even/odd
+    sample streams at hh = hop/2), so frame overlap never materializes the
+    (B*T, n_fft) frames tensor in HBM (~4x the waveform at hop = n_fft/4).
+    Because the full example's mel lives in VMEM, the per-example epilogue
+    (_fused_epilogue) fuses here too, instead of costing extra HBM passes
+    after the kernel.
     """
     we = we_ref[0]  # (1, (t_pad + pieces - 1) * hh) even-sample lane vector
     wo = wo_ref[0]
 
-    def frames_of(x):
-        return jnp.concatenate(
-            [jnp.reshape(x[:, s * hh : (s + t_pad) * hh], (t_pad, hh))
-             for s in range(pieces)],
-            axis=1,
-        )
-
-    e = frames_of(we)
-    o = frames_of(wo)
+    e = _vmem_frames(we, t_pad, hh, pieces)
+    o = _vmem_frames(wo, t_pad, hh, pieces)
     e_hi = e.astype(jnp.bfloat16)
     e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     o_hi = o.astype(jnp.bfloat16)
@@ -409,22 +434,7 @@ def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
     power_hi = re_hi * re_hi + im_hi * im_hi
     mel = _dot_f32(power_lo, fblo_ref[:]) + _dot_f32(power_hi, fbhi_ref[:])
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-
-    if top_db is not None or normalize:
-        rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
-        valid = (rows < t) & (cols < n_mels)
-        if top_db is not None:
-            peak = jnp.max(jnp.where(valid, db, -jnp.inf))
-            db = jnp.maximum(db, peak - top_db)
-        if normalize:
-            n = t * n_mels
-            mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
-            centered = jnp.where(valid, db - mean, 0.0)
-            # unbiased (ddof=1) to match torch.std (normalize_spectrogram)
-            var = jnp.sum(centered * centered) / max(n - 1, 1)
-            db = (db - mean) / (jnp.sqrt(var) + eps)
-    out_ref[0] = db
+    out_ref[0] = _fused_epilogue(db, t, n_mels, normalize, top_db, eps)
 
 
 def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
@@ -524,21 +534,13 @@ def _kernel_radix4_fused(w0_ref, w1_ref, w2_ref, w3_ref,
     amortizing per-cell setup — measured within noise (+0.3-1%) at batch
     128, never worse.
     """
-    def frames_of(ref, g):
-        x = ref[g]
-        return jnp.concatenate(
-            [jnp.reshape(x[:, s * hh : (s + t_pad) * hh], (t_pad, hh))
-             for s in range(pieces)],
-            axis=1,
-        )
-
     tw = tw_ref[:]
     for g in range(group):
         P = []
         Q = []
         for wref, cref, sref in ((w0_ref, c0_ref, s0_ref), (w1_ref, c1_ref, s1_ref),
                                  (w2_ref, c2_ref, s2_ref), (w3_ref, c3_ref, s3_ref)):
-            fr = frames_of(wref, g)
+            fr = _vmem_frames(wref[g], t_pad, hh, pieces)
             f_hi = fr.astype(jnp.bfloat16)
             f_lo = (fr - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             P.append(_dot_hilo(f_hi, f_lo, cref, passes))
@@ -564,20 +566,7 @@ def _kernel_radix4_fused(w0_ref, w1_ref, w2_ref, w3_ref,
             mel = part if mel is None else mel + part
 
         db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-        if top_db is not None or normalize:
-            rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
-            valid = (rows < t) & (cols < n_mels)
-            if top_db is not None:
-                peak = jnp.max(jnp.where(valid, db, -jnp.inf))
-                db = jnp.maximum(db, peak - top_db)
-            if normalize:
-                n = t * n_mels
-                mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
-                centered = jnp.where(valid, db - mean, 0.0)
-                var = jnp.sum(centered * centered) / max(n - 1, 1)
-                db = (db - mean) / (jnp.sqrt(var) + eps)
-        out_ref[g] = db
+        out_ref[g] = _fused_epilogue(db, t, n_mels, normalize, top_db, eps)
 
 
 def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,

@@ -146,7 +146,7 @@ class TestPallasMel:
             log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
                            algorithm="radix4_fused", interpret=True)
         )
-        np.testing.assert_allclose(got, xla_ref(wav), atol=1.5e-3)
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
 
     def test_radix4_fused_noise_odd_batch_and_length(self, rng):
         n = (0.1 * rng.standard_normal((3, SR + 320))).astype(np.float32)
@@ -154,7 +154,7 @@ class TestPallasMel:
             log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
                            algorithm="radix4_fused", interpret=True)
         )
-        np.testing.assert_allclose(got, xla_ref(n), atol=1.5e-3)
+        np.testing.assert_allclose(got, xla_ref(n), atol=1e-3)
 
     def test_radix4_fused_normalize_and_top_db_epilogue(self, wav):
         got = np.asarray(
@@ -173,8 +173,11 @@ class TestPallasMel:
                            f_min=50.0, f_max=4000.0,
                            algorithm="radix4_fused", interpret=True)
         )
+        # 1 element in 16k reaches 1.04e-3 under interpret mode's CPU bf16
+        # emulation (restricted band -> near-empty edge mels); the compiled
+        # kernel measures 9.7e-4 worst-case on-chip, within the 1e-3 budget
         np.testing.assert_allclose(
-            got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1.5e-3
+            got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=1.1e-3
         )
 
     def test_radix4_fused_group4_batch(self, rng):
