@@ -159,8 +159,28 @@ class LinearWarmup:
         return {"warmup_epoch": self._epoch, "base": self.base.state_dict()}
 
     def load_state_dict(self, state: dict) -> None:
+        if "warmup_epoch" not in state:
+            # checkpoint saved before warmup was enabled: the state is the
+            # bare base scheduler's; past-warmup epochs resume correctly by
+            # setting _epoch from the base's epoch counter (plateau carries
+            # no epoch — warmup restarts, which only scales the first
+            # warmup_epochs epochs)
+            self.base.load_state_dict(state)
+            self._epoch = int(state.get("epoch", 0))
+            return
         self._epoch = int(state["warmup_epoch"])
         self.base.load_state_dict(state["base"])
+
+
+def restore_scheduler(scheduler, state: dict) -> None:
+    """Shape-tolerant scheduler restore: a checkpoint saved with warmup
+    enabled (state = {warmup_epoch, base}) restoring into a non-warmup
+    scheduler unwraps the base state; the converse (bare base state into a
+    LinearWarmup) is handled by LinearWarmup.load_state_dict. Keeps resume
+    working when training.warmup_epochs is toggled between save and resume."""
+    if "warmup_epoch" in state and not isinstance(scheduler, LinearWarmup):
+        state = state["base"]
+    scheduler.load_state_dict(state)
 
 
 def build_scheduler(name: str | None, base_lr: float, epochs: int, *,

@@ -436,7 +436,9 @@ class Trainer:
         self.patience_counter = int(ckpt.get("patience_counter", 0))
 
         if "scheduler" in ckpt:
-            self.scheduler.load_state_dict(ckpt["scheduler"])
+            from audio_classification_icbhi_tpu.training.schedules import restore_scheduler
+
+            restore_scheduler(self.scheduler, ckpt["scheduler"])
         else:  # legacy: replay with the selection metric, not raw val_loss
             for _ in range(self.start_epoch):
                 self.scheduler.step(self._best_metric())

@@ -71,7 +71,16 @@ def _load_orbax(path: Path) -> dict[str, Any]:
     import orbax.checkpoint as ocp
 
     with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
-        restored = ckptr.restore(path.resolve())
+        # pin the per-item handlers (StandardRestore for the array tree,
+        # JsonRestore for metadata): without them orbax falls back to
+        # handler inference and warns 'generally UNSAFE' on every load
+        restored = ckptr.restore(
+            path.resolve(),
+            ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
     out = dict(restored["state"])
     out.update(restored["meta"] or {})
     return out

@@ -94,8 +94,9 @@ def sweep():
     floor ends, where compute saturates, and what each mel backend does to
     END-TO-END throughput. Markdown table to stdout (paste into PARITY.md)."""
     peak_tflops = 197.0  # v5e bf16 MXU peak / chip
-    # auto resolves batch-dependently (Pallas radix2_fused at batch >= 64,
-    # XLA radix-2 below); the explicit backends pin each path for comparison
+    # auto's policy is shape/platform-based, not batch-based: radix4_fused
+    # on TPU whenever the shape qualifies (ops/mel.py:_auto_pallas), at every
+    # batch size; the explicit backends pin each path for comparison
     backends = ["auto", "xla_radix2", "xla", "pallas"]
     batches = [8, 32, 128, 512, 1024]
     rows = []

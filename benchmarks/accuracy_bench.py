@@ -120,7 +120,7 @@ def make_dataset(layout: str, root: Path, total: int, seed: int, duration: float
         icbhi_class_counts,
     )
 
-    stamp = root / f".stamp_{layout}_{total}_{seed}"
+    stamp = root / f".stamp_{layout}_{total}_{seed}_d{duration:g}"
     if stamp.exists():
         print(f"Reusing hard dataset at {root}")
         return root
@@ -383,8 +383,9 @@ def main():
                 # dir keyed by every generation parameter: a --total change
                 # must never mix files with a previous run's dataset
                 data_root = make_dataset(
-                    layout, workdir / f"hard_{layout}_{total}_{seed}", total,
-                    seed, lcfg["duration"],
+                    layout,
+                    workdir / f"hard_{layout}_{total}_{seed}_d{lcfg['duration']:g}",
+                    total, seed, lcfg["duration"],
                 )
             for arm in args.arms.split(","):
                 arm = arm.strip()

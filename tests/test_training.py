@@ -126,6 +126,31 @@ class TestSchedules:
         s = build_scheduler("cosine", 0.003, 10, warmup_epochs=0)
         assert isinstance(s, CosineAnnealingLR)
 
+    def test_warmup_toggle_between_save_and_resume(self):
+        """A checkpoint saved without warmup restores into a warmup
+        scheduler (and vice versa) instead of raising KeyError (advisor r2)."""
+        from audio_classification_icbhi_tpu.training.schedules import (
+            build_scheduler,
+            restore_scheduler,
+        )
+
+        # saved WITHOUT warmup -> resumed WITH warmup
+        plain = build_scheduler("cosine", 1.0, 100, warmup_epochs=0)
+        for _ in range(7):
+            plain.step()
+        warm = build_scheduler("cosine", 1.0, 100, warmup_epochs=4)
+        restore_scheduler(warm, plain.state_dict())
+        assert warm.base._epoch == 7
+        assert warm.lr == plain.lr  # epoch 7 is past warmup -> scale 1
+
+        # saved WITH warmup -> resumed WITHOUT
+        warm2 = build_scheduler("cosine", 1.0, 100, warmup_epochs=4)
+        for _ in range(7):
+            warm2.step()
+        plain2 = build_scheduler("cosine", 1.0, 100, warmup_epochs=0)
+        restore_scheduler(plain2, warm2.state_dict())
+        assert plain2._epoch == 7
+
 
 class TestICBHIScore:
     def test_hand_computed_confusion(self):
