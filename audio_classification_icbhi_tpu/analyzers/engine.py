@@ -55,9 +55,20 @@ class FlexibleMelFrontend:
     (reference data/preprocessing_flexible.py:9-154): for windows < 1 s,
     n_fft = min(1024, sr*dur/2) and hop = n_fft/4 (:34-36); spectrograms are
     bilinearly resized to a fixed time axis (>= 32 frames, :118-154) so one
-    model graph serves every window size."""
+    model graph serves every window size.
 
-    def __init__(self, sample_rate: int, n_mels: int, n_fft: int, hop_length: int, duration: float):
+    Delegates the mel chain to a MelFrontend with the resolved window
+    config, so the analyzer hot path gets the SAME measured auto policy as
+    training/inference (ops/mel.py:_auto_pallas): on TPU the default 1-s
+    windows (2048/512, no resize needed) run the radix4_fused Pallas
+    kernel with the normalize epilogue fused; window configs that need a
+    resize still run the kernel for the mel chain (epilogue outside, since
+    resize sits between mel and normalize); CPU and kernel-ineligible
+    shapes fall back to the XLA radix-2 path.
+    """
+
+    def __init__(self, sample_rate: int, n_mels: int, n_fft: int, hop_length: int,
+                 duration: float, backend: str = "auto"):
         self.sample_rate = sample_rate
         self.n_mels = n_mels
         self.duration = duration
@@ -68,28 +79,27 @@ class FlexibleMelFrontend:
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.target_time_steps = max(int(math.ceil(self.target_length / hop_length)), 32)
+        self._inner = mel_ops.MelFrontend(
+            sample_rate=sample_rate, n_mels=n_mels, n_fft=self.n_fft,
+            hop_length=self.hop_length, duration=duration,
+            use_matmul_dft=True, normalize=True, backend=backend,
+        )
+
+    @property
+    def needs_resize(self) -> bool:
+        return self._inner.num_frames != self.target_time_steps
 
     def __call__(self, wavs: jax.Array) -> jax.Array:
         """(B, L) -> (B, n_mels, T_fixed), normalized."""
-        if self.n_fft % 4 == 0:
-            # same radix-2 bf16x4 path as the training frontend
-            mel = mel_ops.amplitude_to_db(
-                mel_ops._log_mel_radix2_xla(
-                    wavs, self.sample_rate, self.n_fft, self.hop_length,
-                    self.n_mels, "htk", None,
-                ),
-                stype="power",
-            )
-        else:
-            mel = mel_ops.log_mel_spectrogram(
-                wavs, self.sample_rate, self.n_fft, self.hop_length, self.n_mels,
-                use_matmul_dft=True,
-            )
-        if mel.shape[-1] != self.target_time_steps:
-            # bilinear, half-pixel centers == torch align_corners=False (:144-149)
-            mel = jax.image.resize(
-                mel, mel.shape[:-1] + (self.target_time_steps,), method="bilinear"
-            )
+        if not self.needs_resize:
+            # nothing between mel and normalize: the fused kernel runs its
+            # per-example epilogue in VMEM when eligible
+            return self._inner(wavs)
+        mel = self._inner.log_mel(wavs)
+        # bilinear, half-pixel centers == torch align_corners=False (:144-149)
+        mel = jax.image.resize(
+            mel, mel.shape[:-1] + (self.target_time_steps,), method="bilinear"
+        )
         return mel_ops.normalize_spectrogram(mel)
 
 

@@ -64,6 +64,26 @@ class DeviceCachedLoader(BatchLoader):
     def nbytes(self) -> int:
         return int(np.prod(self._cache.shape)) * 4
 
+    @property
+    def cache(self):
+        """The (N, L) device-resident waveform tensor (replicated on the
+        mesh) — passed whole into multi-step train dispatches, which gather
+        their batches from it on device (parallel/data_parallel.train_many)."""
+        return self._cache
+
+    def epoch_index_batches(self) -> np.ndarray:
+        """(S, B) int32 global dataset indices for this epoch's full
+        batches — the host side of the multi-step-per-dispatch path: these
+        indices are ALL that crosses the host->device link for S optimizer
+        steps. Partial tail batches are excluded (callers handle them with
+        a per-step dispatch); honors the same seeded per-epoch shuffle as
+        __iter__."""
+        batches = self._batch_indices()
+        full = [b for b in batches if len(b) == self.batch_size]
+        if not full:
+            return np.zeros((0, self.batch_size), np.int32)
+        return np.stack(full).astype(np.int32)
+
     def __iter__(self):
         import jax.numpy as jnp
 

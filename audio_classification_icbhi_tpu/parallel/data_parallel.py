@@ -88,6 +88,11 @@ def features_from_wavs(
 class TrainStepFns(NamedTuple):
     train_step: Callable
     eval_step: Callable
+    # multi-step-per-dispatch trainer (None when dynamic_loss_scale is on):
+    # scans K optimizer steps over the HBM-resident waveform cache in ONE
+    # jitted call, amortizing the ~5 ms per-dispatch tunnel floor that
+    # otherwise eats a third of every 11-15 ms step (VERDICT r2 #3)
+    train_many: Callable | None = None
 
 
 def clip_by_global_norm(grads, max_norm: float = 1.0):
@@ -251,6 +256,43 @@ def make_step_fns(
         }
         return params, batch_stats, opt_state, metrics, (scale, good_steps)
 
+    def train_shard_many(params, batch_stats, opt_state, cache, idxs, labels,
+                         class_weights, lr, key, step0):
+        """K optimizer steps in one program. cache: (N, L) replicated
+        waveforms (device_cache.DeviceCachedLoader); idxs/labels:
+        (K, A, b_local) global dataset indices / labels, batch-sharded.
+        step0 (traced i32) numbers the steps so per-step PRNG keys match
+        the single-dispatch path exactly: key_s = fold_in(key, step0 + s)
+        reproduces Trainer.train_epoch's host-side fold_in(epoch_key, s).
+        """
+
+        def one(carry, xs):
+            params, batch_stats, opt_state = carry
+            idx, lab, si = xs
+            k = jax.random.fold_in(key, si)
+            # on-device gather: only (A, b) int32 indices ever crossed the
+            # host->device link for this step
+            wavs = jnp.take(cache, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (cache.shape[-1],)
+            )
+            _, batch_stats, grads, losses, correct, count = _accumulate_grads(
+                params, batch_stats, wavs, lab, class_weights, k, jnp.float32(1.0)
+            )
+            params, opt_state, grad_norm = _apply(params, opt_state, grads, lr)
+            metrics = {
+                "loss": jnp.mean(losses),
+                "correct": correct,
+                "count": count,
+                "grad_norm": grad_norm,
+            }
+            return (params, batch_stats, opt_state), metrics
+
+        steps_idx = step0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
+        (params, batch_stats, opt_state), metrics = jax.lax.scan(
+            one, (params, batch_stats, opt_state), (idxs, labels, steps_idx)
+        )
+        return params, batch_stats, opt_state, metrics
+
     def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
         loss_unused, (stats_unused, logits, correct) = loss_fn(
             params, batch_stats, wavs, labels, mask, class_weights,
@@ -266,6 +308,7 @@ def make_step_fns(
     batched = P(axis_name)
     mb = P(None, axis_name)  # (accum, batch, ...) sharded on batch
 
+    train_many = None
     if dynamic_loss_scale:
         train_step = jax.jit(
             jax.shard_map(
@@ -288,6 +331,19 @@ def make_step_fns(
             ),
             donate_argnums=(0, 1, 2),
         )
+        mb3 = P(None, None, axis_name)  # (K, accum, batch) sharded on batch
+        train_many = jax.jit(
+            jax.shard_map(
+                train_shard_many,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, rep, mb3, mb3, rep, rep, rep, rep),
+                out_specs=(rep, rep, rep, rep),
+                check_vma=False,
+            ),
+            # donate the fed-back state but NOT the cache (argnum 3): it is
+            # reused every dispatch of every epoch
+            donate_argnums=(0, 1, 2),
+        )
     eval_step = jax.jit(
         jax.shard_map(
             eval_shard,
@@ -297,4 +353,5 @@ def make_step_fns(
             check_vma=False,
         )
     )
-    return TrainStepFns(train_step=train_step, eval_step=eval_step)
+    return TrainStepFns(train_step=train_step, eval_step=eval_step,
+                        train_many=train_many)

