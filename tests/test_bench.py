@@ -12,15 +12,41 @@ import bench
 
 def test_build_measure_and_flops_xla_backends():
     for backend in ("auto", "xla"):
-        fn, inputs = bench.build_pipeline(8, backend)
+        fn, inputs, fe = bench.build_pipeline(8, backend)
         out = np.asarray(fn(inputs[0]))
         assert out.shape == (8, 4) and np.isfinite(out).all()
-    fpc = bench.flops_per_clip(fn, inputs[0])
+    fpc = bench.flops_per_clip(fn, inputs[0], fe)
     # wav->logits on a 5 s clip is a few GFLOP (radix-2 DFT + CNN)
     assert fpc is not None and 1e8 < fpc < 1e11, fpc
 
 
 def test_measure_returns_positive_rate():
-    fn, inputs = bench.build_pipeline(8, "auto")
+    fn, inputs, _ = bench.build_pipeline(8, "auto")
     cps = bench.measure(fn, inputs, 8)
     assert cps > 0
+
+
+def test_analytic_kernel_flops_sane():
+    """The Pallas FLOP model (VERDICT r2 #7) must sit in the right
+    neighborhood: radix-4 quarters the dense DFT work vs radix-2's half vs
+    the full-DFT bf16x3, with everything inside the same order of
+    magnitude as the XLA radix-2 path's cost-analysis count (which the
+    sweep table already trusts)."""
+    from audio_classification_icbhi_tpu.ops.pallas_mel import analytic_flops
+
+    length = 80000  # 5 s @ 16 kHz
+    r4 = analytic_flops("radix4_fused", length, 2048, 512, 128)
+    r2 = analytic_flops("radix2_fused", length, 2048, 512, 128)
+    full = analytic_flops("bf16x3", length, 2048, 512, 128)
+    assert 1e8 < r4 < r2 < full < 1e11, (r4, r2, full)
+    # dense-DFT ratio ~2x between levels (padding + fixed mel work blur it)
+    assert 1.5 < r2 / r4 < 2.6
+    # pass scaling: f32 counts one dot where bf16x3 counts three
+    f32 = analytic_flops("f32", length, 2048, 512, 128)
+    assert 2.0 < full / f32 < 3.2
+
+
+def test_parity_battery_shapes():
+    wavs = bench.parity_battery(16000)
+    assert wavs.shape == (8, 16000) and wavs.dtype == np.float32
+    assert np.isfinite(wavs).all()

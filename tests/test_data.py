@@ -424,6 +424,37 @@ class TestHardSyntheticRegime:
                + np.mean(np.asarray(peaks[1]) > thresh)) / 2
         assert acc < 0.8, f"peak threshold separates hard regime too well ({acc:.2f})"
 
+    def test_dense_coverage_spans_the_cycle(self):
+        """coverage="dense" (VERDICT r2 #2) must make event evidence
+        temporally redundant: crackle trains land far more events and the
+        wheeze gate spans >= 70% of the cycle, so a 35-frame time mask
+        cannot delete a clip's only labeled energy."""
+        from audio_classification_icbhi_tpu.data.synthetic import (
+            _add_crackles_hard,
+            _add_wheeze_hard,
+        )
+
+        sr, n = 16000, 32000
+        counts = {}
+        for cov in ("sparse", "dense"):
+            rng = np.random.default_rng(5)
+            hits = 0
+            for _ in range(10):
+                x = _add_crackles_hard(rng, np.zeros(n, np.float32), sr,
+                                       coverage=cov)
+                # 100 ms windows containing any crackle energy
+                w = np.abs(x).reshape(20, -1).max(axis=1)
+                hits += int((w > 0).sum())
+            counts[cov] = hits
+        assert counts["dense"] > 2 * counts["sparse"], counts
+
+        rng = np.random.default_rng(5)
+        for _ in range(10):
+            x = _add_wheeze_hard(rng, np.zeros(n, np.float32), sr,
+                                 coverage="dense")
+            nz = np.flatnonzero(np.abs(x) > 0)
+            assert (nz[-1] - nz[0]) >= 0.69 * n
+
     def test_hard_deterministic_and_bounded(self):
         a = synth_respiratory_cycle(np.random.default_rng(7), 3, 1.5, 16000, hard=True)
         b = synth_respiratory_cycle(np.random.default_rng(7), 3, 1.5, 16000, hard=True)
