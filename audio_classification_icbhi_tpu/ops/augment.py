@@ -95,3 +95,29 @@ def augment_spectrogram(
     mel_spec = freq_mask(k_f, mel_spec, freq_mask_param)
     mel_spec = time_mask(k_t, mel_spec, time_mask_param)
     return mel_spec
+
+
+def spec_mask_bounds(
+    key: jax.Array,
+    n_mels: int,
+    num_frames: int,
+    *,
+    freq_mask_param: int = 15,
+    time_mask_param: int = 35,
+) -> jax.Array:
+    """(f_start, f_width, t_start, t_width) for ONE example, drawn with
+    byte-identical key discipline and uniform calls to augment_spectrogram
+    (split -> freq then time; per mask split -> width then start), so the
+    fused-kernel epilogue (ops/pallas_mel) masks exactly the cells the
+    unfused chain would — pinned by the fused-vs-composed parity test."""
+
+    def one(k, size, param):
+        k_w, k_s = jax.random.split(k)
+        width = jax.random.uniform(k_w, (), minval=0.0, maxval=float(param))
+        start = jax.random.uniform(k_s, (), minval=0.0, maxval=float(size) - width)
+        return start, width
+
+    k_f, k_t = jax.random.split(key)
+    f_start, f_width = one(k_f, n_mels, freq_mask_param)
+    t_start, t_width = one(k_t, num_frames, time_mask_param)
+    return jnp.stack([f_start, f_width, t_start, t_width])

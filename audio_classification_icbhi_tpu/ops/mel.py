@@ -444,7 +444,9 @@ class MelFrontend:
             return False
         if waveform.ndim != 2:
             return False
-        if self._pallas_algorithm() not in ("radix2_fused", "radix4_fused"):
+        if self._pallas_algorithm() not in (
+            "radix2_fused", "radix4_fused", "radix4dif_fused"
+        ):
             return False
         try:
             # honor an active jax.default_device(...) override — the Mosaic
@@ -457,13 +459,19 @@ class MelFrontend:
 
     def _pallas_algorithm(self) -> str:
         """Best eligible kernel: the fused kernels frame IN VMEM (need
-        n_fft % hop == 0 like frame_signal, plus lane-aligned per-stream
-        hops — hop % 512 == 0 for radix-4's four streams, hop % 256 == 0
-        for radix-2's two) and fuse the per-example epilogue; radix4_fused
-        quarters the dense DFT matmuls (vs radix2's half); radix2 needs
-        only n_fft % 4 == 0; bf16x3 is the general fallback."""
+        n_fft % hop == 0 like frame_signal, plus lane-aligned slicing) and
+        fuse the per-example epilogue. radix4dif_fused (decimation in
+        FREQUENCY) is preferred — its wrapper's only prep is the reflect
+        pad, where the DIT kernels' stream de-interleave cost a serialized
+        HBM pass that was the entire batch-512 knee; it needs
+        n_fft % 512 == 0 (lane-aligned quarter blocks) and hop % 128 == 0
+        (framing offsets). radix4_fused/radix2_fused remain for
+        comparison; radix2 needs only n_fft % 4 == 0; bf16x3 is the
+        general fallback."""
         if self.n_fft % 4 == 0:
             if self.n_fft % self.hop_length == 0:
+                if (self.n_fft % 512 == 0 and self.hop_length % 128 == 0):
+                    return "radix4dif_fused"
                 if self.n_fft % 8 == 0 and self.hop_length % 512 == 0:
                     return "radix4_fused"
                 if self.hop_length % 256 == 0:
@@ -508,7 +516,8 @@ class MelFrontend:
             use_matmul_dft=self.use_matmul_dft,
         )
 
-    def _pallas_log_mel(self, waveform: jax.Array, normalize: bool) -> jax.Array:
+    def _pallas_log_mel(self, waveform: jax.Array, normalize: bool,
+                        spec_mask_bounds: jax.Array | None = None) -> jax.Array:
         from audio_classification_icbhi_tpu.ops import pallas_mel
 
         return pallas_mel.log_mel_pallas(
@@ -524,6 +533,7 @@ class MelFrontend:
             norm=self.norm,
             algorithm=self._pallas_algorithm(),
             normalize=normalize,
+            spec_mask_bounds=spec_mask_bounds,
         )
 
     def __call__(self, waveform: jax.Array) -> jax.Array:

@@ -232,6 +232,85 @@ def _constants_radix4(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
     return tuple(dft), tw, fbs
 
 
+@functools.lru_cache(maxsize=8)
+def _constants_radix4dif(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
+                         norm, f_min: float = 0.0, f_max: float | None = None):
+    """Radix-4 decimation-in-FREQUENCY constants.
+
+    Unlike the DIT kernels, DIF consumes CONTIGUOUS quarter blocks of each
+    windowed frame (a, b, c, d = frame[0:q], [q:2q], ...), so the wrapper
+    never de-interleaves sample streams — the measured batch-512 knee was
+    exactly that de-interleave (4 strided-slice HBM passes, ~4 ms at 512
+    clips, serialized against a 5.8 ms kernel; an XLA transpose measures
+    the same). Output bins split by k mod 4:
+
+        u_0 = a+b+c+d              (real)    k = 4f,  DFT_q, f = 0..q/2
+        u_1 = (a-c) - i(b-d); v_1 = u_1 * e^{-2pi i m/N}
+                                   (complex) k = 4f+1 from DFT_q(v_1)[f],
+                                             f = 0..255, AND k = 4f+3 =
+                                             |DFT_q(v_1)[q-1-f]| (conjugate
+                                             symmetry, power only — regions
+                                             B and D share one matmul)
+        u_2 = a-b+c-d              (real)    k = 4f+2 via the odd-bin
+                                             half-DFT: angles
+                                             2pi m (2f+1)/(N/2), f = 0..255
+
+    Verified exact (2e-12 vs rfft) in numpy before kerneling. Executed
+    matmul columns 3328 vs DIT's 3072 (+8%) — u_1's complex sub-DFT loses
+    real-input symmetry — but the mel stage drops to 3 matmuls (1152 cols
+    vs 1536) and the whole de-interleave prep disappears.
+
+    Returns (dft, wtw, fbs): dft = 6 hi/lo-split matrices
+    (C0, S0 (q, nb0_pad); C1, S1 (q, q); C2, S2 (q, q//2)); wtw = (6, 1, q)
+    f32 rows [w_a, w_b, w_c, w_d, cos1, sin1]; fbs = (FA (nb0_pad, m_pad),
+    FB (q, m_pad), FC (q//2, m_pad)) pre-permuted mel matrices."""
+    q = n_fft // 4
+    m = np.arange(q)
+    n = np.arange(n_fft)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    nb0 = q // 2 + 1
+    nb0_pad = _round_up(nb0, 128)
+    m_pad = _round_up(n_mels, 128)
+
+    ang0 = 2.0 * np.pi * np.outer(m, np.arange(nb0)) / q
+    c0 = np.zeros((q, nb0_pad), np.float32)
+    s0 = np.zeros((q, nb0_pad), np.float32)
+    c0[:, :nb0] = np.cos(ang0)
+    s0[:, :nb0] = np.sin(ang0)
+    ang1 = 2.0 * np.pi * np.outer(m, np.arange(q)) / q
+    c1m = np.cos(ang1).astype(np.float32)
+    s1m = np.sin(ang1).astype(np.float32)
+    ang2 = 2.0 * np.pi * np.outer(m, 2 * np.arange(q // 2) + 1) / (n_fft // 2)
+    c2m = np.cos(ang2).astype(np.float32)
+    s2m = np.sin(ang2).astype(np.float32)
+    dft = tuple(_split_bf16(x) for x in (c0, s0, c1m, s1m, c2m, s2m))
+
+    wtw = np.zeros((6, 1, q), np.float32)
+    for j in range(4):
+        wtw[j, 0] = w[j * q:(j + 1) * q]
+    wtw[4, 0] = np.cos(2.0 * np.pi * m / n_fft)
+    wtw[5, 0] = np.sin(2.0 * np.pi * m / n_fft)
+
+    fb = np.asarray(
+        mel_ops._mel_filterbank_np(
+            sample_rate, n_fft, n_mels, float(f_min),
+            sample_rate / 2.0 if f_max is None else float(f_max),
+            mel_scale, norm)
+    )
+    half = n_fft // 2
+    fa = np.zeros((nb0_pad, m_pad), np.float32)
+    fbm = np.zeros((q, m_pad), np.float32)
+    fc = np.zeros((q // 2, m_pad), np.float32)
+    for f in range(nb0):
+        fa[f, :n_mels] = fb[4 * f]
+    for f in range(q // 2):
+        fbm[f, :n_mels] = fb[4 * f + 1]
+        if 4 * f + 3 <= half:
+            fbm[q - 1 - f, :n_mels] += fb[4 * f + 3]
+        fc[f, :n_mels] = fb[4 * f + 2]
+    return dft, wtw, (fa, fbm, fc)
+
+
 def _dot_f32(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -367,12 +446,21 @@ def _vmem_frames(x, t_pad: int, hh: int, pieces: int):
 
 
 def _fused_epilogue(db, t: int, n_mels: int, normalize: bool,
-                    top_db: float | None, eps: float):
+                    top_db: float | None, eps: float, bounds=None):
     """Per-example epilogue on a (t_pad, m_pad) dB block: top_db clip
-    against the example peak and zero-mean/unit-var normalize
-    (ops.mel.normalize_spectrogram semantics), masked to the valid
-    (t, n_mels) region. Variance is unbiased (ddof=1) to match torch.std."""
-    if top_db is None and not normalize:
+    against the example peak, optional SpecAugment masking, and
+    zero-mean/unit-var normalize (ops.mel.normalize_spectrogram semantics),
+    masked to the valid (t, n_mels) region. Variance is unbiased (ddof=1)
+    to match torch.std.
+
+    bounds, when given, is this example's (f_start, f_width, t_start,
+    t_width) f32 vector (ops.augment.spec_mask_bounds): cells with
+    start <= idx < start + width on either axis are zeroed BETWEEN the dB
+    stage and normalize — the reference's augmentation ordering
+    (preprocessing.py:105-116: mel -> dB -> spec-aug -> normalize), so the
+    normalize statistics include the masked zeros exactly as the unfused
+    chain's do."""
+    if top_db is None and not normalize and bounds is None:
         return db
     rows = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
@@ -380,6 +468,14 @@ def _fused_epilogue(db, t: int, n_mels: int, normalize: bool,
     if top_db is not None:
         peak = jnp.max(jnp.where(valid, db, -jnp.inf))
         db = jnp.maximum(db, peak - top_db)
+    if bounds is not None:
+        f_start, f_width, t_start, t_width = (bounds[i] for i in range(4))
+        fidx = cols.astype(jnp.float32)  # rows = time, cols = mel: the
+        tidx = rows.astype(jnp.float32)  # kernel block is (t_pad, m_pad)
+        masked = ((fidx >= f_start) & (fidx < f_start + f_width)) | (
+            (tidx >= t_start) & (tidx < t_start + t_width)
+        )
+        db = jnp.where(masked, 0.0, db)
     if normalize:
         n = t * n_mels
         mean = jnp.sum(jnp.where(valid, db, 0.0)) / n
@@ -389,11 +485,11 @@ def _fused_epilogue(db, t: int, n_mels: int, normalize: bool,
     return db
 
 
-def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
-                         cj_ref, sj_ref, fblo_ref, fbhi_ref, out_ref, *,
+def _kernel_radix2_fused(weo_ref, ce_ref, se_ref, co_ref, so_ref,
+                         cj_ref, sj_ref, fblo_ref, fbhi_ref, *refs,
                          t: int, t_pad: int, pieces: int, hh: int, n_mels: int,
                          normalize: bool, top_db: float | None, eps: float,
-                         passes: int = 3):
+                         passes: int = 3, with_masks: bool = False):
     """Grid: (B,) — one whole example per cell.
 
     Framing happens IN VMEM (_vmem_frames over the example's even/odd
@@ -401,10 +497,21 @@ def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
     (B*T, n_fft) frames tensor in HBM (~4x the waveform at hop = n_fft/4).
     Because the full example's mel lives in VMEM, the per-example epilogue
     (_fused_epilogue) fuses here too, instead of costing extra HBM passes
-    after the kernel.
+    after the kernel. with_masks threads a per-example SpecAugment bounds
+    vector (SMEM) into the epilogue so the AUGMENTED training path fuses
+    end-to-end as well (VERDICT r2 #8).
     """
-    we = we_ref[0]  # (1, (t_pad + pieces - 1) * hh) even-sample lane vector
-    wo = wo_ref[0]
+    if with_masks:
+        mb_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        mb_ref = None
+    # weo_ref: (2, 1, need) — both parity streams in ONE operand (single
+    # XLA transpose host-side; see _kernel_radix4_fused on why separate
+    # strided-slice streams cost a full serialized HBM pass each, and why
+    # streams ride the leading block dim)
+    we = weo_ref[0]  # (1, (t_pad + pieces - 1) * hh) even samples
+    wo = weo_ref[1]
 
     e = _vmem_frames(we, t_pad, hh, pieces)
     o = _vmem_frames(wo, t_pad, hh, pieces)
@@ -434,7 +541,8 @@ def _kernel_radix2_fused(we_ref, wo_ref, ce_ref, se_ref, co_ref, so_ref,
     power_hi = re_hi * re_hi + im_hi * im_hi
     mel = _dot_f32(power_lo, fblo_ref[:]) + _dot_f32(power_hi, fbhi_ref[:])
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-    out_ref[0] = _fused_epilogue(db, t, n_mels, normalize, top_db, eps)
+    bounds = None if mb_ref is None else tuple(mb_ref[0, 0, i] for i in range(4))
+    out_ref[0] = _fused_epilogue(db, t, n_mels, normalize, top_db, eps, bounds)
 
 
 def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
@@ -442,7 +550,7 @@ def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                           f_min: float = 0.0, f_max: float | None = None,
                           top_db: float | None = None,
                           normalize: bool = False, eps: float = 1e-8,
-                          dft_passes: int = 3):
+                          dft_passes: int = 3, spec_mask_bounds=None):
     if n_fft % hop_length:
         raise ValueError("radix2_fused requires n_fft divisible by hop_length")
     if (hop_length // 2) % 128:
@@ -461,20 +569,13 @@ def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     x = stft_ops.reflect_pad(waveform, n_fft // 2)
     if x.shape[-1] % 2:
         x = jnp.pad(x, ((0, 0), (0, 1)))
-    # Even/odd de-interleave + row reshape: ONE waveform-sized materialization
-    # (XLA fuses slice+pad+reshape into a single copy) instead of the
-    # (B, T, n_fft) frames tensor the unfused paths stage in HBM.
+    # Even/odd de-interleave as ONE (b, 2, need) transpose (see the radix-4
+    # wrapper: per-stream strided slices each re-read the waveform in HBM)
     half = x.reshape(b, x.shape[-1] // 2, 2)
-    we = half[:, :, 0]
-    wo = half[:, :, 1]
-    if need > we.shape[-1]:
-        pad = need - we.shape[-1]
-        we = jnp.pad(we, ((0, 0), (0, pad)))
-        wo = jnp.pad(wo, ((0, 0), (0, pad)))
-    # (B, 1, need): the kernel block must satisfy Pallas's (8, 128) tiling
-    # rule on its last two dims — (1, need) blocks do by matching the array
-    we = we[:, :need].reshape(b, 1, need)
-    wo = wo[:, :need].reshape(b, 1, need)
+    ht = jnp.swapaxes(half, 1, 2)  # (b, 2, L/2)
+    if need > ht.shape[-1]:
+        ht = jnp.pad(ht, ((0, 0), (0, 0), (0, need - ht.shape[-1])))
+    weo = ht[:, :, :need].reshape(b * 2, 1, need)  # row 2*i + parity
 
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _constants_radix2(
         sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
@@ -487,20 +588,28 @@ def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                                   memory_space=pltpu.VMEM)
     const2 = lambda shp: pl.BlockSpec(shp, lambda bi: (0, 0),  # noqa: E731
                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((2, 1, need), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        const3(), const3(), const3(), const3(),
+        const2((1, nb_pad)), const2((1, nb_pad)),
+        const2((nb_pad, m_pad)), const2((nb_pad, m_pad)),
+    ]
+    extra = ()
+    if spec_mask_bounds is not None:
+        # (b, 1, 4): SMEM blocks must equal the array on the last two dims
+        # (the (8, 128) tiling rule applies to SMEM blocks too), so the
+        # per-cell bounds ride the leading dim
+        in_specs.append(pl.BlockSpec((1, 1, 4), lambda bi: (bi, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        extra = (spec_mask_bounds.astype(jnp.float32).reshape(b, 1, 4),)
     out = pl.pallas_call(
         functools.partial(
             _kernel_radix2_fused, t=t, t_pad=t_pad, pieces=pieces, hh=hh,
             n_mels=n_mels, normalize=normalize, top_db=top_db, eps=eps,
-            passes=dft_passes,
+            passes=dft_passes, with_masks=spec_mask_bounds is not None,
         ),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 1, need), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, need), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            const3(), const3(), const3(), const3(),
-            const2((1, nb_pad)), const2((1, nb_pad)),
-            const2((nb_pad, m_pad)), const2((nb_pad, m_pad)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, t_pad, m_pad), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
@@ -509,17 +618,19 @@ def _log_mel_radix2_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
         # default 16 MB scoped-vmem budget on 5 s clips
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(we, wo, *(jnp.asarray(x) for x in (ce, se, co, so, cj, sj, fb_lo, fb_hi)))
+    )(weo, *(jnp.asarray(x) for x in (ce, se, co, so, cj, sj, fb_lo, fb_hi)),
+      *extra)
     return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
 
 
-def _kernel_radix4_fused(w0_ref, w1_ref, w2_ref, w3_ref,
+def _kernel_radix4_fused(wq_ref,
                          c0_ref, s0_ref, c1_ref, s1_ref,
                          c2_ref, s2_ref, c3_ref, s3_ref,
-                         tw_ref, fbs_ref, out_ref, *,
+                         tw_ref, fbs_ref, *refs,
                          t: int, t_pad: int, pieces: int, hh: int, n_mels: int,
                          normalize: bool, top_db: float | None, eps: float,
-                         passes: int = 3, group: int = 1):
+                         passes: int = 3, group: int = 1,
+                         with_masks: bool = False):
     """Grid: (B/group,) — `group` whole examples per cell, radix-4 DFT.
 
     Same in-VMEM framing and per-example epilogue as _kernel_radix2_fused,
@@ -534,39 +645,68 @@ def _kernel_radix4_fused(w0_ref, w1_ref, w2_ref, w3_ref,
     amortizing per-cell setup — measured within noise (+0.3-1%) at batch
     128, never worse.
     """
+    if with_masks:
+        mb_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        mb_ref = None
     tw = tw_ref[:]
+    # The group's examples stack along the row axis, so every dot in the
+    # cell runs ONCE at (group * t_pad) rows instead of `group` times at
+    # t_pad rows — deeper MXU pipelines, 8 matmuls per cell regardless of
+    # group, and the row-parallel recombination amortizes the same way.
+    P = []
+    Q = []
+    for j, (cref, sref) in enumerate(((c0_ref, s0_ref), (c1_ref, s1_ref),
+                                      (c2_ref, s2_ref), (c3_ref, s3_ref))):
+        # wq_ref: (group * 4, 1, need), row 4*g + j = stream j of group
+        # example g — all four mod-4 streams arrive as ONE operand (a single
+        # XLA transpose + reshape host-side) instead of four strided-slice
+        # materializations that each re-read the whole waveform from HBM
+        # (measured: that prep serialized ~4 ms against the kernel's 5.8 ms
+        # at batch 512 — the entire batch-512 knee). Streams stay on the
+        # LEADING block dim: a leading-dim index is free, while slicing the
+        # sublane dim of a (4, need) block stalls the Mosaic compiler.
+        fr = jnp.concatenate(
+            [_vmem_frames(wq_ref[g * 4 + j], t_pad, hh, pieces)
+             for g in range(group)],
+            axis=0,
+        )  # (group * t_pad, q)
+        f_hi = fr.astype(jnp.bfloat16)
+        f_lo = (fr - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        P.append(_dot_hilo(f_hi, f_lo, cref, passes))
+        Q.append(_dot_hilo(f_hi, f_lo, sref, passes))
+
+    mel = None
+    for r in range(4):
+        conj = r in (1, 3)
+        # j = 0 term: twiddle is 1 (S_0 enters directly)
+        re = P[0]
+        im = Q[0] if conj else -Q[0]
+        for j in (1, 2, 3):
+            c = tw[r * 6 + (j - 1), :]
+            s = tw[r * 6 + 3 + (j - 1), :]
+            if conj:  # t_j(k) * conj(S_j) with t = c - i*s, S = P - i*Q
+                re = re + c * P[j] + s * Q[j]
+                im = im + c * Q[j] - s * P[j]
+            else:     # t_j(k) * S_j
+                re = re + c * P[j] - s * Q[j]
+                im = im - c * Q[j] - s * P[j]
+        power = re * re + im * im
+        part = _dot_f32(power, fbs_ref[r])
+        mel = part if mel is None else mel + part
+
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    # epilogue stays strictly per-example: each example's clip/normalize
+    # statistics come from its own rows alone (pinned by the
+    # grouped-vs-ungrouped isolation test)
     for g in range(group):
-        P = []
-        Q = []
-        for wref, cref, sref in ((w0_ref, c0_ref, s0_ref), (w1_ref, c1_ref, s1_ref),
-                                 (w2_ref, c2_ref, s2_ref), (w3_ref, c3_ref, s3_ref)):
-            fr = _vmem_frames(wref[g], t_pad, hh, pieces)
-            f_hi = fr.astype(jnp.bfloat16)
-            f_lo = (fr - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            P.append(_dot_hilo(f_hi, f_lo, cref, passes))
-            Q.append(_dot_hilo(f_hi, f_lo, sref, passes))
-
-        mel = None
-        for r in range(4):
-            conj = r in (1, 3)
-            # j = 0 term: twiddle is 1 (S_0 enters directly)
-            re = P[0]
-            im = Q[0] if conj else -Q[0]
-            for j in (1, 2, 3):
-                c = tw[r * 6 + (j - 1), :]
-                s = tw[r * 6 + 3 + (j - 1), :]
-                if conj:  # t_j(k) * conj(S_j) with t = c - i*s, S = P - i*Q
-                    re = re + c * P[j] + s * Q[j]
-                    im = im + c * Q[j] - s * P[j]
-                else:     # t_j(k) * S_j
-                    re = re + c * P[j] - s * Q[j]
-                    im = im - c * Q[j] - s * P[j]
-            power = re * re + im * im
-            part = _dot_f32(power, fbs_ref[r])
-            mel = part if mel is None else mel + part
-
-        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-        out_ref[g] = _fused_epilogue(db, t, n_mels, normalize, top_db, eps)
+        bounds = None if mb_ref is None else tuple(
+            mb_ref[0, 0, g * 4 + i] for i in range(4))
+        out_ref[g] = _fused_epilogue(
+            db[g * t_pad : (g + 1) * t_pad], t, n_mels, normalize, top_db, eps,
+            bounds,
+        )
 
 
 def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
@@ -574,7 +714,7 @@ def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                           f_min: float = 0.0, f_max: float | None = None,
                           top_db: float | None = None,
                           normalize: bool = False, eps: float = 1e-8,
-                          dft_passes: int = 3):
+                          dft_passes: int = 3, spec_mask_bounds=None):
     if n_fft % 8:
         raise ValueError("radix4_fused requires n_fft divisible by 8")
     if n_fft % hop_length:
@@ -595,12 +735,20 @@ def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     x = stft_ops.reflect_pad(waveform, n_fft // 2)
     if x.shape[-1] % 4:
         x = jnp.pad(x, ((0, 0), (0, 4 - x.shape[-1] % 4)))
+    # One (b, 4, need) operand via a single transpose: de-interleaving into
+    # four separate (b, need) streams made XLA materialize four
+    # strided-slice copies, each re-reading the full waveform — measured as
+    # the whole batch-512 throughput knee (~4 ms serialized against a
+    # 5.8 ms kernel). The transpose reads + writes the waveform once.
     quarter = x.reshape(b, x.shape[-1] // 4, 4)
-    streams = [quarter[:, :, j] for j in range(4)]
-    if need > streams[0].shape[-1]:
-        pad = need - streams[0].shape[-1]
-        streams = [jnp.pad(s, ((0, 0), (0, pad))) for s in streams]
-    streams = [s[:, :need].reshape(b, 1, need) for s in streams]
+    qt = jnp.swapaxes(quarter, 1, 2)  # (b, 4, L/4)
+    qlen = qt.shape[-1]
+    if need > qlen:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, need - qlen)))
+    # (b*4, 1, need): row 4*i + j = stream j of example i — the kernel
+    # indexes streams on the leading block dim (sublane slicing stalls
+    # Mosaic)
+    streams = qt[:, :, :need].reshape(b * 4, 1, need)
 
     dft, tw, fbs = _constants_radix4(
         sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
@@ -614,28 +762,196 @@ def _log_mel_radix4_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     group = next(g for g in (4, 2, 1) if b % g == 0)
     const3 = lambda: pl.BlockSpec((2, q, nb_pad), lambda bi: (0, 0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((group * 4, 1, need), lambda bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        *[const3() for _ in range(8)],
+        pl.BlockSpec((24, nb_pad), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, nb_pad, m_pad), lambda bi: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra = ()
+    if spec_mask_bounds is not None:
+        # (b//group, 1, group*4): SMEM blocks must equal the array on the
+        # last two dims (the (8, 128) tiling rule applies to SMEM too), so
+        # each cell's group of bounds rides the leading dim
+        in_specs.append(pl.BlockSpec((1, 1, group * 4),
+                                     lambda bi: (bi, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        extra = (spec_mask_bounds.astype(jnp.float32)
+                 .reshape(b // group, 1, group * 4),)
     out = pl.pallas_call(
         functools.partial(
             _kernel_radix4_fused, t=t, t_pad=t_pad, pieces=pieces, hh=hh,
             n_mels=n_mels, normalize=normalize, top_db=top_db, eps=eps,
             passes=dft_passes, group=group,
+            with_masks=spec_mask_bounds is not None,
         ),
         grid=(b // group,),
-        in_specs=[
-            *[pl.BlockSpec((group, 1, need), lambda bi: (bi, 0, 0),
-                           memory_space=pltpu.VMEM) for _ in range(4)],
-            *[const3() for _ in range(8)],
-            pl.BlockSpec((24, nb_pad), lambda bi: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nb_pad, m_pad), lambda bi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((group, t_pad, m_pad), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(*streams, *(jnp.asarray(x) for x in dft),
-      jnp.asarray(tw), jnp.asarray(fbs))
+    )(streams, *(jnp.asarray(x) for x in dft),
+      jnp.asarray(tw), jnp.asarray(fbs), *extra)
+    return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
+
+
+def _kernel_radix4dif_fused(x_ref, c0_ref, s0_ref, c1_ref, s1_ref,
+                            c2_ref, s2_ref, wtw_ref,
+                            fa_ref, fbm_ref, fc_ref, *refs,
+                            t: int, t_pad: int, pieces: int, hop: int,
+                            n_mels: int, normalize: bool,
+                            top_db: float | None, eps: float,
+                            passes: int = 3, group: int = 1,
+                            with_masks: bool = False):
+    """Grid: (B/group,) — radix-4 DIF (see _constants_radix4dif).
+
+    x_ref is (group, 1, need): the example's reflect-padded waveform rows,
+    CONTIGUOUS — framing happens in VMEM at hh = hop (lane-aligned for
+    hop % 128 == 0), quarter blocks are plain lane slices, and the wrapper
+    does no stream de-interleave at all (the radix-4 DIT kernels' prep
+    cost, measured as the entire batch-512 knee)."""
+    if with_masks:
+        mb_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        mb_ref = None
+    q = c1_ref.shape[1]
+
+    fr = jnp.concatenate(
+        [_vmem_frames(x_ref[g], t_pad, hop, pieces) for g in range(group)],
+        axis=0,
+    )  # (group * t_pad, n_fft)
+    wa = wtw_ref[0]
+    wb = wtw_ref[1]
+    wc = wtw_ref[2]
+    wd = wtw_ref[3]
+    c1 = wtw_ref[4]
+    s1 = wtw_ref[5]
+    a = fr[:, 0:q] * wa
+    b = fr[:, q:2 * q] * wb
+    c = fr[:, 2 * q:3 * q] * wc
+    d = fr[:, 3 * q:4 * q] * wd
+    u0 = (a + c) + (b + d)
+    u2 = (a + c) - (b + d)
+    p = a - c
+    qd = b - d
+    v1r = p * c1 - qd * s1
+    v1i = -(p * s1 + qd * c1)
+
+    def split(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    u0h, u0l = split(u0)
+    u2h, u2l = split(u2)
+    vrh, vrl = split(v1r)
+    vih, vil = split(v1i)
+
+    re_a = _dot_hilo(u0h, u0l, c0_ref, passes)
+    im_a = _dot_hilo(u0h, u0l, s0_ref, passes)
+    re_b = _dot_hilo(vrh, vrl, c1_ref, passes) + _dot_hilo(vih, vil, s1_ref, passes)
+    im_b = _dot_hilo(vih, vil, c1_ref, passes) - _dot_hilo(vrh, vrl, s1_ref, passes)
+    re_c = _dot_hilo(u2h, u2l, c2_ref, passes)
+    im_c = _dot_hilo(u2h, u2l, s2_ref, passes)
+
+    mel = (
+        _dot_f32(re_a * re_a + im_a * im_a, fa_ref[:])
+        + _dot_f32(re_b * re_b + im_b * im_b, fbm_ref[:])
+        + _dot_f32(re_c * re_c + im_c * im_c, fc_ref[:])
+    )
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    for g in range(group):
+        bounds = None if mb_ref is None else tuple(
+            mb_ref[0, 0, g * 4 + i] for i in range(4))
+        out_ref[g] = _fused_epilogue(
+            db[g * t_pad:(g + 1) * t_pad], t, n_mels, normalize, top_db, eps,
+            bounds,
+        )
+
+
+def _log_mel_radix4dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
+                             mel_scale, norm, interpret: bool,
+                             f_min: float = 0.0, f_max: float | None = None,
+                             top_db: float | None = None,
+                             normalize: bool = False, eps: float = 1e-8,
+                             dft_passes: int = 3, spec_mask_bounds=None):
+    if n_fft % 8:
+        raise ValueError("radix4dif_fused requires n_fft divisible by 8")
+    if n_fft % hop_length:
+        raise ValueError("radix4dif_fused requires n_fft divisible by hop_length")
+    if hop_length % 128:
+        # in-VMEM framing slices the padded waveform at hop lane offsets
+        raise ValueError("radix4dif_fused requires hop_length % 128 == 0")
+    if (n_fft // 4) % 128:
+        # quarter blocks are lane slices at n_fft/4 offsets
+        raise ValueError("radix4dif_fused requires n_fft % 512 == 0")
+    b, length = waveform.shape
+    t = stft_ops.num_frames(length, n_fft, hop_length)
+    pieces = n_fft // hop_length
+    t_pad = _round_up(t, 8)
+    need = (t_pad + pieces - 1) * hop_length
+    # torch.stft center=True semantics. The ONLY host-side prep is this
+    # reflect pad — no de-interleave, no transpose.
+    x = stft_ops.reflect_pad(waveform, n_fft // 2)
+    if need > x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+    x = x[:, :need].reshape(b, 1, need)
+
+    dft, wtw, fbs = _constants_radix4dif(
+        sample_rate, n_fft, n_mels, mel_scale, norm, f_min, f_max
+    )
+    q = n_fft // 4
+    nb0_pad = dft[0].shape[2]
+    m_pad = fbs[0].shape[1]
+    group = next(g for g in (4, 2, 1) if b % g == 0)
+
+    def const3(cols):
+        return pl.BlockSpec((2, q, cols), lambda bi: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fbspec(rows):
+        return pl.BlockSpec((rows, m_pad), lambda bi: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((group, 1, need), lambda bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const3(nb0_pad), const3(nb0_pad),  # C0, S0
+        const3(q), const3(q),              # C1, S1
+        const3(q // 2), const3(q // 2),    # C2, S2
+        pl.BlockSpec((6, 1, q), lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
+        fbspec(nb0_pad), fbspec(q), fbspec(q // 2),
+    ]
+    extra = ()
+    if spec_mask_bounds is not None:
+        # (b//group, 1, group*4): SMEM blocks must equal the array on the
+        # last two dims (the (8, 128) tiling rule applies to SMEM too), so
+        # each cell's group of bounds rides the leading dim
+        in_specs.append(pl.BlockSpec((1, 1, group * 4),
+                                     lambda bi: (bi, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        extra = (spec_mask_bounds.astype(jnp.float32)
+                 .reshape(b // group, 1, group * 4),)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_radix4dif_fused, t=t, t_pad=t_pad, pieces=pieces,
+            hop=hop_length, n_mels=n_mels, normalize=normalize, top_db=top_db,
+            eps=eps, passes=dft_passes, group=group,
+            with_masks=spec_mask_bounds is not None,
+        ),
+        grid=(b // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((group, t_pad, m_pad), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *(jnp.asarray(y) for y in dft), jnp.asarray(wtw),
+      *(jnp.asarray(y) for y in fbs), *extra)
     return jnp.swapaxes(out[:, :t, :n_mels], 1, 2)  # (B, n_mels, T)
 
 
@@ -681,6 +997,10 @@ def _log_mel_radix2(waveform, sample_rate, n_fft, hop_length, n_mels,
         out_specs=pl.BlockSpec((tile_r, m_pad), lambda ri: (ri, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, m_pad), jnp.float32),
+        # constants + per-tile intermediates land just past the default
+        # 16 MB scoped-vmem budget at some row counts (measured +258 KB on
+        # an 8 x 5 s batch)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(e, o, *(jnp.asarray(x) for x in (ce, se, co, so, cj, sj, fb_lo, fb_hi)))
     mel = out[:rows, :n_mels].reshape(b, t, n_mels)
@@ -711,6 +1031,18 @@ def analytic_flops(algorithm: str, length: int, n_fft: int, hop_length: int,
         mel = 4 * 2 * t_pad * nb_pad * m_pad
         epilogue = 6 * t_pad * m_pad
         return dft + recomb + mel + epilogue
+    if algorithm == "radix4dif_fused":
+        q = n_fft // 4
+        nb0_pad = _round_up(q // 2 + 1, 128)
+        # summed output columns over the 8 dots: u0 @ (C0, S0), the two v1
+        # sequences @ (C1, S1), u2 @ (C2, S2)
+        cols = 2 * nb0_pad + 4 * q + 2 * (q // 2)
+        dft = dft_passes * 2 * t_pad * q * cols
+        # window (4) + u/v combinations (~10) + powers (9)
+        prep = 23 * t_pad * q
+        mel = 2 * t_pad * (nb0_pad + q + q // 2) * m_pad
+        epilogue = 6 * t_pad * m_pad
+        return dft + prep + mel + epilogue
     if algorithm in ("radix2_fused", "radix2"):
         h = n_fft // 2
         nb_pad = _round_up(h // 2 + 1, 128)
@@ -748,6 +1080,7 @@ def log_mel_pallas(
     f_tile: int = 512,
     interpret: bool = False,
     dft_passes: int = 3,  # radix2 kernels: bf16 passes per DFT matmul (see _dot_hilo)
+    spec_mask_bounds: jax.Array | None = None,  # (B, 4) per-example SpecAugment
 ) -> jax.Array:
     """(B, L) waveform -> (B, n_mels, T) log-mel, one fused TPU kernel.
 
@@ -767,7 +1100,13 @@ def log_mel_pallas(
             mel_scale=mel_scale, norm=norm, algorithm=algorithm,
             normalize=normalize, tile_t=tile_t, f_tile=f_tile,
             interpret=interpret, dft_passes=dft_passes,
+            spec_mask_bounds=None if spec_mask_bounds is None
+            else spec_mask_bounds[None],
         )[0]
+    if spec_mask_bounds is not None and algorithm not in (
+        "radix2_fused", "radix4_fused", "radix4dif_fused"
+    ):
+        raise ValueError("spec_mask_bounds requires a fused algorithm")
 
     def clip_top_db(db):
         if top_db is None:
@@ -782,12 +1121,19 @@ def log_mel_pallas(
 
         return normalize_spectrogram(db)
 
+    if algorithm == "radix4dif_fused":
+        return _log_mel_radix4dif_fused(
+            waveform, sample_rate, n_fft, hop_length, n_mels,
+            mel_scale, norm, interpret=interpret,
+            f_min=f_min, f_max=f_max, top_db=top_db, normalize=normalize,
+            dft_passes=dft_passes, spec_mask_bounds=spec_mask_bounds,
+        )
     if algorithm == "radix4_fused":
         return _log_mel_radix4_fused(
             waveform, sample_rate, n_fft, hop_length, n_mels,
             mel_scale, norm, interpret=interpret,
             f_min=f_min, f_max=f_max, top_db=top_db, normalize=normalize,
-            dft_passes=dft_passes,
+            dft_passes=dft_passes, spec_mask_bounds=spec_mask_bounds,
         )
     if algorithm == "radix2_fused":
         if n_fft % 4:
@@ -796,7 +1142,7 @@ def log_mel_pallas(
             waveform, sample_rate, n_fft, hop_length, n_mels,
             mel_scale, norm, interpret=interpret,
             f_min=f_min, f_max=f_max, top_db=top_db, normalize=normalize,
-            dft_passes=dft_passes,
+            dft_passes=dft_passes, spec_mask_bounds=spec_mask_bounds,
         )
     if algorithm == "radix2":
         if n_fft % 4:

@@ -238,7 +238,12 @@ class Trainer:
         spd = int(self.config["training"].get("steps_per_dispatch", 0)) or max(groups, 1)
         epoch_key = jax.random.fold_in(self.train_key, epoch)
 
-        losses, correct, total = [], 0.0, 0.0
+        # Metrics stay ON DEVICE until the single epoch-end fetch: every
+        # np.asarray of a device scalar costs a 30-50 ms tunnel RPC, which
+        # measured LARGER than the whole epoch's fused compute (epoch wall
+        # 328 ms of which ~100 ms was compute; 3 per-chunk fetches ate the
+        # rest). One packed fetch per epoch leaves only dispatch + compute.
+        losses, corrects, counts = [], [], []
         g = 0
         while g < groups:
             k = min(spd, groups - g)
@@ -250,10 +255,9 @@ class Trainer:
                 chunk_idx, chunk_lab, self.class_weights, lr, epoch_key,
                 np.int32(g),
             )
-            jax.block_until_ready(m["loss"])  # shallow queue (see train_epoch)
             losses.append(m["loss"])
-            correct += float(np.asarray(m["correct"]).sum())
-            total += float(np.asarray(m["count"]).sum())
+            corrects.append(m["correct"])
+            counts.append(m["count"])
             g += k
         # tail group (< accum_steps loader batches): one per-step dispatch,
         # gradient scaled by tail/accum like _grouped_batches' tail
@@ -267,12 +271,24 @@ class Trainer:
                 self.params, self.batch_stats, self.opt_state,
                 wavs, labels[sl], self.class_weights, lr, key,
             )
-            jax.block_until_ready(m["loss"])
-            losses.append(m["loss"][None] if m["loss"].ndim == 0 else m["loss"])
-            correct += float(np.asarray(m["correct"]).sum())
-            total += float(np.asarray(m["count"]).sum())
-        flat = np.concatenate([np.atleast_1d(np.asarray(x)) for x in losses])
-        return float(flat.mean()), 100.0 * correct / max(total, 1.0)
+            losses.append(jnp.atleast_1d(m["loss"]))
+            corrects.append(m["correct"])
+            counts.append(m["count"])
+        packed = self._pack_epoch_metrics(tuple(losses), tuple(corrects), tuple(counts))
+        vals = np.asarray(packed)  # the epoch's ONE host<->device fetch
+        loss_mean, correct, total = float(vals[0]), float(vals[1]), float(vals[2])
+        return loss_mean, 100.0 * correct / max(total, 1.0)
+
+    @staticmethod
+    @jax.jit
+    def _pack_epoch_metrics(losses, corrects, counts):
+        """(mean step loss, total correct, total count) as ONE device
+        array, so the epoch summary costs one tunnel round-trip."""
+        def total(xs):
+            return jnp.sum(jnp.concatenate([jnp.atleast_1d(x) for x in xs]))
+
+        flat = jnp.concatenate([jnp.atleast_1d(l) for l in losses])
+        return jnp.stack([flat.mean(), total(corrects), total(counts)])
 
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         self.train_loader.set_epoch(epoch)

@@ -193,6 +193,112 @@ class TestPallasMel:
         want = np.asarray(mel_ops.normalize_spectrogram(jnp.asarray(xla_ref(n))))
         np.testing.assert_allclose(got, want, atol=2e-3)
 
+    def test_radix4dif_fused_within_parity_budget(self, wav):
+        """radix-4 decimation-in-FREQUENCY: contiguous quarter blocks (no
+        stream de-interleave anywhere), k-mod-4 output regions with
+        conjugate symmetry folded into three pre-permuted mel matrices
+        (region math verified 2e-12 vs rfft in numpy before kerneling)."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4dif_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1e-3)
+
+    def test_radix4dif_fused_noise_odd_batch_and_length(self, rng):
+        n = (0.1 * rng.standard_normal((3, SR + 320))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4dif_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(n), atol=1e-3)
+
+    def test_radix4dif_fused_epilogue_and_group_isolation(self, rng):
+        """normalize + top_db epilogue per example in a group-4 grid cell:
+        one loud clip must not leak into its neighbours' statistics."""
+        n = (0.1 * rng.standard_normal((8, SR))).astype(np.float32)
+        n[3] *= 20.0
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix4dif_fused", normalize=True,
+                           top_db=60.0, interpret=True)
+        )
+        want = np.asarray(mel_ops.normalize_spectrogram(
+            jnp.asarray(xla_ref(n, top_db=60.0))))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_radix4dif_fused_f_min_f_max(self, wav):
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           f_min=50.0, f_max=4000.0,
+                           algorithm="radix4dif_fused", interpret=True)
+        )
+        # 1 element in 16k reaches 1.9e-3: the restricted band leaves
+        # near-empty edge mels whose dB error is amplified by depth below
+        # the clip peak (see bench.py parity docstring); the committed
+        # PARITY artifact pins the production numbers in the active region
+        np.testing.assert_allclose(
+            got, xla_ref(wav, f_min=50.0, f_max=4000.0), atol=2e-3
+        )
+
+    def test_radix4dif_fused_hop_256(self, rng):
+        """DIF covers hop % 128 shapes the DIT radix-4 cannot (its streams
+        need hop % 512)."""
+        n = (0.1 * rng.standard_normal((2, SR))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, 2048, 256, N_MELS,
+                           algorithm="radix4dif_fused", interpret=True)
+        )
+        want = np.asarray(mel_ops.log_mel_spectrogram(
+            jnp.asarray(n), SR, 2048, 256, N_MELS, use_matmul_dft=False))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_radix4dif_fused_ineligible_shapes_raise(self):
+        wav = jnp.zeros((2, SR), jnp.float32)
+        with pytest.raises(ValueError, match="hop_length % 128"):
+            log_mel_pallas(wav, SR, 2048, 64, N_MELS,
+                           algorithm="radix4dif_fused", interpret=True)
+        with pytest.raises(ValueError, match="n_fft % 512"):
+            log_mel_pallas(wav, SR, 1280, 256, N_MELS,
+                           algorithm="radix4dif_fused", interpret=True)
+
+    @pytest.mark.parametrize("algorithm", ["radix4_fused", "radix2_fused",
+                                           "radix4dif_fused"])
+    def test_fused_spec_augment_matches_composed_chain(self, rng, algorithm):
+        """SpecAugment fused into the kernel epilogue (VERDICT r2 #8): with
+        bounds drawn by ops.augment.spec_mask_bounds from the same keys,
+        the kernel must mask exactly the cells the unfused
+        log_mel -> augment_spectrogram -> normalize chain masks, and
+        normalize over the SAME masked statistics."""
+        import jax
+
+        from audio_classification_icbhi_tpu.ops import augment as aug_ops
+
+        n = (0.1 * rng.standard_normal((4, SR))).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+        keys = jax.random.split(key, 4)
+        t_frames = SR // HOP + 1
+        bounds = jax.vmap(
+            lambda k: aug_ops.spec_mask_bounds(k, N_MELS, t_frames)
+        )(keys)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm=algorithm, normalize=True,
+                           interpret=True, spec_mask_bounds=bounds)
+        )
+        mel = jnp.asarray(xla_ref(n))
+        masked = jax.vmap(aug_ops.augment_spectrogram)(keys, mel)
+        want = np.asarray(mel_ops.normalize_spectrogram(masked))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        # at least one cell actually masked (bounds non-degenerate)
+        assert (np.asarray(masked) == 0.0).any()
+
+    def test_spec_mask_bounds_requires_fused_algorithm(self):
+        wav = jnp.zeros((2, SR), jnp.float32)
+        bounds = jnp.zeros((2, 4), jnp.float32)
+        with pytest.raises(ValueError, match="fused"):
+            log_mel_pallas(wav, SR, N_FFT, HOP, N_MELS, algorithm="radix2",
+                           interpret=True, spec_mask_bounds=bounds)
+
     def test_radix4_fused_ineligible_shapes_raise(self):
         wav = jnp.zeros((2, SR), jnp.float32)
         with pytest.raises(ValueError, match="hop_length % 512"):
@@ -204,11 +310,17 @@ class TestPallasMel:
 
     def test_frontend_pallas_algorithm_selection(self):
         fe = mel_ops.MelFrontend(backend="pallas")
-        assert fe._pallas_algorithm() == "radix4_fused"  # 2048/512 eligible
-        # hop % 512 != 0 -> radix-4's four streams can't lane-align, but
-        # radix-2's two can
+        # 2048/512: DIF eligible (n_fft % 512 == 0, hop % 128 == 0) and
+        # preferred — its wrapper needs no stream de-interleave
+        assert fe._pallas_algorithm() == "radix4dif_fused"
         assert (
             mel_ops.MelFrontend(backend="pallas", n_fft=1024, hop_length=256)
+            ._pallas_algorithm() == "radix4dif_fused"
+        )
+        # n_fft % 512 != 0 -> DIF quarter blocks can't lane-align; DIT
+        # radix-2's two streams can at hop % 256 == 0
+        assert (
+            mel_ops.MelFrontend(backend="pallas", n_fft=1280, hop_length=256)
             ._pallas_algorithm() == "radix2_fused"
         )
         # hop not dividing n_fft -> no in-kernel framing
