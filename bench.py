@@ -252,8 +252,8 @@ def parity(out_path: str = "PARITY_r03.json"):
             _golden_mel_f32(w, sr, n_fft, hop, n_mels) for w in wavs
         ]))
 
-        for algo in ("radix4dif_fused", "radix4_fused", "radix2_fused",
-                     "radix2", "bf16x3", "f32"):
+        for algo in ("radix8dif_fused", "radix4dif_fused", "radix4_fused",
+                     "radix2_fused", "radix2", "bf16x3", "f32"):
             run(f"pallas_{algo}", lambda w, a=algo: log_mel_pallas(
                 w, sr, n_fft, hop, n_mels, algorithm=a))
         run("xla_radix2", lambda w: mel_ops.amplitude_to_db(

@@ -103,11 +103,17 @@ ARMS = {
 # split. (Multi-cycle recordings with OR labels were tried first: the weak
 # supervision over 6 s inputs made every arm cold-start-collapse to the
 # uniform predictor for tens of epochs.) Warmup guards the weighted arms'
-# cold start under patient shift.
+# cold start under patient shift. The recording layouts run the production
+# default LR (config.yaml's 0.003, not the segmented layout's tuned
+# 0.0045): at 0.0045 the weights-on/augment-off arm sits on a stability
+# edge where ~1 seed in 3 never escapes the uniform-predictor basin
+# (probed directly: seed 43 collapses at lr 0.0045 under warmup 5 AND 10,
+# trains cleanly at 0.003 — the collapse was LR-marginality, not a warmup
+# length problem; augmentation noise is what rescued the other arms).
 LAYOUTS = {
     "segmented": {"duration": 3.0, "total": 2000, "epochs": 45, "lr": 0.0045,
                   "warmup_epochs": 0, "coverage": "sparse"},
-    "recording": {"duration": 3.0, "total": 2000, "epochs": 45, "lr": 0.0045,
+    "recording": {"duration": 3.0, "total": 2000, "epochs": 45, "lr": 0.003,
                   "warmup_epochs": 5, "coverage": "sparse"},
     # Dense-coverage variant (VERDICT r2 #2): adventitious events span most
     # of the cycle — crackle trains, sustained expiratory wheezes — which is
@@ -116,7 +122,7 @@ LAYOUTS = {
     # regularize over instead of deleting a clip's only labeled energy;
     # patient shift is identical to `recording`.
     "recording_dense": {"duration": 3.0, "total": 2000, "epochs": 45,
-                        "lr": 0.0045, "warmup_epochs": 5, "coverage": "dense"},
+                        "lr": 0.003, "warmup_epochs": 5, "coverage": "dense"},
 }
 
 

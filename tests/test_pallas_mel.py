@@ -261,8 +261,69 @@ class TestPallasMel:
             log_mel_pallas(wav, SR, 1280, 256, N_MELS,
                            algorithm="radix4dif_fused", interpret=True)
 
+    def test_radix8dif_fused_within_parity_budget(self, wav):
+        """radix-8 decimation-in-FREQUENCY: eight contiguous eighth blocks,
+        0/±1/±sqrt(1/2) VPU butterflies into five sequences, twiddles folded
+        entirely into the host DFT matrices (region math verified 2e-14 vs
+        rfft, butterflies 2e-15, in numpy before kerneling).
+
+        Budget note: the deeper decimation concentrates ~8x the signal per
+        pre-split sample (vs radix-4's ~4x), so its bf16-split error floor
+        is structurally ~1.5x radix-4 DIF's — measured 1.23e-3 max dB on
+        this fixture at the 4-pass default (radix-4: 7.9e-4; emulated
+        exact-accumulation floor 5.1e-4, the rest is f32 dot summation).
+        That sits just over the 1e-3 production budget, which is why
+        radix4dif_fused stays the auto-policy default and radix-8 is
+        opt-in; budget here is the measured floor + margin."""
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix8dif_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(wav), atol=1.5e-3)
+
+    def test_radix8dif_fused_noise_odd_batch_and_length(self, rng):
+        n = (0.1 * rng.standard_normal((3, SR + 320))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix8dif_fused", interpret=True)
+        )
+        np.testing.assert_allclose(got, xla_ref(n), atol=1e-3)
+
+    def test_radix8dif_fused_epilogue_and_group_isolation(self, rng):
+        n = (0.1 * rng.standard_normal((8, SR))).astype(np.float32)
+        n[3] *= 20.0
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, N_FFT, HOP, N_MELS,
+                           algorithm="radix8dif_fused", normalize=True,
+                           top_db=60.0, interpret=True)
+        )
+        want = np.asarray(mel_ops.normalize_spectrogram(
+            jnp.asarray(xla_ref(n, top_db=60.0))))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_radix8dif_fused_hop_256(self, rng):
+        n = (0.1 * rng.standard_normal((2, SR))).astype(np.float32)
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(n), SR, 2048, 256, N_MELS,
+                           algorithm="radix8dif_fused", interpret=True)
+        )
+        want = np.asarray(mel_ops.log_mel_spectrogram(
+            jnp.asarray(n), SR, 2048, 256, N_MELS, use_matmul_dft=False))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_radix8dif_fused_ineligible_shapes_raise(self):
+        wav = jnp.zeros((2, SR), jnp.float32)
+        with pytest.raises(ValueError, match="hop_length % 128"):
+            log_mel_pallas(wav, SR, 2048, 64, N_MELS,
+                           algorithm="radix8dif_fused", interpret=True)
+        with pytest.raises(ValueError, match="n_fft % 1024"):
+            # eighth blocks need E = n_fft/8 lane-aligned (% 128)
+            log_mel_pallas(wav, SR, 512, 128, N_MELS,
+                           algorithm="radix8dif_fused", interpret=True)
+
     @pytest.mark.parametrize("algorithm", ["radix4_fused", "radix2_fused",
-                                           "radix4dif_fused"])
+                                           "radix4dif_fused",
+                                           "radix8dif_fused"])
     def test_fused_spec_augment_matches_composed_chain(self, rng, algorithm):
         """SpecAugment fused into the kernel epilogue (VERDICT r2 #8): with
         bounds drawn by ops.augment.spec_mask_bounds from the same keys,
@@ -316,6 +377,13 @@ class TestPallasMel:
         assert (
             mel_ops.MelFrontend(backend="pallas", n_fft=1024, hop_length=256)
             ._pallas_algorithm() == "radix4dif_fused"
+        )
+        # explicit override beats the policy (radix-8 is opt-in: its error
+        # floor sits just over the production budget)
+        assert (
+            mel_ops.MelFrontend(backend="pallas",
+                                pallas_algorithm="radix8dif_fused")
+            ._pallas_algorithm() == "radix8dif_fused"
         )
         # n_fft % 512 != 0 -> DIF quarter blocks can't lane-align; DIT
         # radix-2's two streams can at hop % 256 == 0
