@@ -16,7 +16,8 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC = 100.0  # RTX-3050 ~10 ms/clip (BASELINE.md)
 
 
-def build_pipeline(batch: int, backend: str = "auto"):
+def build_pipeline(batch: int, backend: str = "auto",
+                   algorithm: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -26,7 +27,7 @@ def build_pipeline(batch: int, backend: str = "auto"):
 
     frontend = MelFrontend(sample_rate=16000, n_mels=128, n_fft=2048,
                            hop_length=512, duration=5.0, use_matmul_dft=True,
-                           backend=backend)
+                           backend=backend, pallas_algorithm=algorithm)
     model = LightweightCNN(num_classes=4, dtype=jnp.bfloat16)
     try:  # init on CPU: eager-init dispatches are slow through the tunnel
         cpu = jax.local_devices(backend="cpu")[0]
@@ -113,18 +114,26 @@ def sweep():
     # auto's policy is shape/platform-based, not batch-based: radix4_fused
     # on TPU whenever the shape qualifies (ops/mel.py:_auto_pallas), at every
     # batch size; the explicit backends pin each path for comparison
-    backends = ["auto", "xla_radix2", "xla", "pallas"]
+    # ("pallas", "radix8dif_fused") pins the opt-in radix-8 DIF kernel
+    # (23% less DFT MXU work at its 4-pass default, but a ~1.2e-3 dB error
+    # floor just over the production budget — see tests/test_pallas_mel.py)
+    backends = [("auto", None), ("xla_radix2", None), ("xla", None),
+                ("pallas", None), ("pallas", "radix8dif_fused")]
     batches = [8, 32, 128, 512, 1024]
     rows = []
-    for backend in backends:
+    for backend, algorithm in backends:
+        if algorithm:
+            backend_label = f"{backend}:{algorithm}"
+        else:
+            backend_label = backend
         for batch in batches:
-            fn, inputs, fe = build_pipeline(batch, backend)
+            fn, inputs, fe = build_pipeline(batch, backend, algorithm)
             cps = measure(fn, inputs, batch)
             fpc = flops_per_clip(fn, inputs[0], fe)
             tflops = cps * fpc / 1e12 if fpc else None
-            rows.append((backend, batch, cps, fpc, tflops))
+            rows.append((backend_label, batch, cps, fpc, tflops))
             util = f"{100 * tflops / peak_tflops:.1f}%" if tflops else "?"
-            print(f"| {backend} | {batch} | {cps:,.0f} | "
+            print(f"| {backend_label} | {batch} | {cps:,.0f} | "
                   f"{(fpc or 0) / 1e9:.2f} | {tflops or 0:.1f} | {util} |",
                   flush=True)
     best = max(rows, key=lambda r: r[2])

@@ -63,7 +63,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--backend", type=str, default="auto")
+    ap.add_argument("--algorithm", type=str, default=None,
+                    help="Force a Pallas kernel (e.g. radix8dif_fused); "
+                         "implies --backend pallas")
     args = ap.parse_args()
+    if args.algorithm:
+        args.backend = "pallas"
 
     import jax
     import jax.numpy as jnp
@@ -73,7 +78,8 @@ def main():
     from audio_classification_icbhi_tpu.parallel.data_parallel import features_from_wavs
 
     frontend = MelFrontend(sample_rate=16000, n_mels=128, n_fft=2048,
-                           hop_length=512, duration=5.0, backend=args.backend)
+                           hop_length=512, duration=5.0, backend=args.backend,
+                           pallas_algorithm=args.algorithm)
     model = LightweightCNN(num_classes=4, dtype=jnp.bfloat16)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
