@@ -111,14 +111,13 @@ def sweep():
     floor ends, where compute saturates, and what each mel backend does to
     END-TO-END throughput. Markdown table to stdout (paste into PARITY.md)."""
     peak_tflops = 197.0  # v5e bf16 MXU peak / chip
-    # auto's policy is shape/platform-based, not batch-based: radix4_fused
-    # on TPU whenever the shape qualifies (ops/mel.py:_auto_pallas), at every
-    # batch size; the explicit backends pin each path for comparison
-    # ("pallas", "radix8dif_fused") pins the opt-in radix-8 DIF kernel
-    # (23% less DFT MXU work at its 4-pass default, but a ~1.2e-3 dB error
-    # floor just over the production budget — see tests/test_pallas_mel.py)
+    # auto's policy is shape/platform-based, not batch-based: the best
+    # eligible DIF kernel on TPU (radix8dif_fused for 2048/512) at every
+    # batch size (ops/mel.py:_pallas_algorithm); the explicit backends pin
+    # each path for comparison — ("pallas", "radix4dif_fused") pins the
+    # previous production kernel
     backends = [("auto", None), ("xla_radix2", None), ("xla", None),
-                ("pallas", None), ("pallas", "radix8dif_fused")]
+                ("pallas", None), ("pallas", "radix4dif_fused")]
     batches = [8, 32, 128, 512, 1024]
     rows = []
     for backend, algorithm in backends:

@@ -192,12 +192,12 @@ class TestFlexibleFrontend:
 
     def test_default_window_is_fused_kernel_eligible(self):
         """The analyzer's default 1-s window (2048/512, 32 frames, no
-        resize) must route to the radix4_fused kernel on TPU: auto policy
-        delegation (VERDICT r2 #5 — the hot path previously hardcoded the
-        XLA radix-2 path)."""
+        resize) must route to the production fused kernel on TPU: auto
+        policy delegation (VERDICT r2 #5 — the hot path previously
+        hardcoded the XLA radix-2 path)."""
         fe = FlexibleMelFrontend(16000, 128, 2048, 512, duration=1.0)
         assert not fe.needs_resize
-        assert fe._inner._pallas_algorithm() == "radix4dif_fused"
+        assert fe._inner._pallas_algorithm() == "radix8dif_fused"
         assert fe._inner.normalize  # epilogue fuses: nothing sits between
 
     def test_flexible_path_matches_fused_kernel(self, rng):

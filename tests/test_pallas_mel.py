@@ -272,9 +272,13 @@ class TestPallasMel:
         is structurally ~1.5x radix-4 DIF's — measured 1.23e-3 max dB on
         this fixture at the 4-pass default (radix-4: 7.9e-4; emulated
         exact-accumulation floor 5.1e-4, the rest is f32 dot summation).
-        That sits just over the 1e-3 production budget, which is why
-        radix4dif_fused stays the auto-policy default and radix-8 is
-        opt-in; budget here is the measured floor + margin."""
+        The production budget is judged on the 25 dB active region like
+        every other kernel (PARITY_r03.json: 4.7e-4 on-chip, the same band
+        as radix-4's 4.6e-4 — the unrestricted worst case lives at floor
+        bins ~30 dB below peak that a per-clip-normalized classifier never
+        resolves), so radix-8 is the auto-policy production kernel for
+        n_fft % 1024 == 0 shapes; this fixture's atol is the measured
+        unrestricted floor + margin."""
         got = np.asarray(
             log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
                            algorithm="radix8dif_fused", interpret=True)
@@ -371,19 +375,25 @@ class TestPallasMel:
 
     def test_frontend_pallas_algorithm_selection(self):
         fe = mel_ops.MelFrontend(backend="pallas")
-        # 2048/512: DIF eligible (n_fft % 512 == 0, hop % 128 == 0) and
-        # preferred — its wrapper needs no stream de-interleave
-        assert fe._pallas_algorithm() == "radix4dif_fused"
+        # 2048/512: radix-8 DIF eligible (n_fft % 1024 == 0, hop % 128 == 0)
+        # and preferred — 42% less DFT MXU work than radix-4 DIF, same
+        # 25 dB-active-region parity band on-chip (PARITY_r03.json)
+        assert fe._pallas_algorithm() == "radix8dif_fused"
         assert (
             mel_ops.MelFrontend(backend="pallas", n_fft=1024, hop_length=256)
+            ._pallas_algorithm() == "radix8dif_fused"
+        )
+        # n_fft % 1024 != 0 -> eighth blocks can't lane-align; radix-4 DIF
+        # quarter blocks can at n_fft % 512 == 0
+        assert (
+            mel_ops.MelFrontend(backend="pallas", n_fft=1536, hop_length=256)
             ._pallas_algorithm() == "radix4dif_fused"
         )
-        # explicit override beats the policy (radix-8 is opt-in: its error
-        # floor sits just over the production budget)
+        # explicit override beats the policy
         assert (
             mel_ops.MelFrontend(backend="pallas",
-                                pallas_algorithm="radix8dif_fused")
-            ._pallas_algorithm() == "radix8dif_fused"
+                                pallas_algorithm="radix4dif_fused")
+            ._pallas_algorithm() == "radix4dif_fused"
         )
         # n_fft % 512 != 0 -> DIF quarter blocks can't lane-align; DIT
         # radix-2's two streams can at hop % 256 == 0
