@@ -108,6 +108,12 @@ class TrainStepFns(NamedTuple):
     # jitted call, amortizing the ~5 ms per-dispatch tunnel floor that
     # otherwise eats a third of every 11-15 ms step (VERDICT r2 #3)
     train_many: Callable | None = None
+    # eval counterpart: scans the whole validation epoch's full batches over
+    # the cache in one dispatch — S per-batch eval dispatches (each paying
+    # the ~5 ms floor plus a blocking sync) collapse to one program + one
+    # packed metric fetch. Built whenever train-side fusion is (the same
+    # device-cache prerequisite); the tail batch keeps per-dispatch eval_step.
+    eval_many: Callable | None = None
 
 
 def clip_by_global_norm(grads, max_norm: float = 1.0):
@@ -308,6 +314,34 @@ def make_step_fns(
         )
         return params, batch_stats, opt_state, metrics
 
+    def eval_shard_many(params, batch_stats, cache, idxs, labels, class_weights):
+        """Whole-val-epoch eval in one program (the eval counterpart of
+        train_shard_many). cache: (N, L) replicated waveforms; idxs/labels:
+        (S, b_local) global dataset indices / labels, batch-sharded. Only
+        FULL batches ride this path (mask ≡ 1 — Trainer keeps the padded
+        per-dispatch eval_step for the tail), so per-batch loss sums
+        (num, den) and correct counts come back as (S,) replicated arrays
+        and argmax predictions as (S, b_local), letting the host fetch an
+        entire validation epoch in two RPCs instead of S blocking syncs."""
+        mask = jnp.ones((idxs.shape[1],), jnp.float32)
+
+        def one(_, xs):
+            idx, lab = xs
+            wavs = jnp.take(cache, idx, axis=0)
+            _, (_, logits, correct) = loss_fn(
+                params, batch_stats, wavs, lab, mask, class_weights,
+                jax.random.PRNGKey(0), False,
+            )
+            num, den = weighted_cross_entropy(logits, lab, class_weights, mask)
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+            correct = jax.lax.psum(correct, axis_name)
+            preds = jnp.argmax(logits, -1).astype(jnp.int32)
+            return None, (num, den, correct, preds)
+
+        _, (num, den, correct, preds) = jax.lax.scan(one, None, (idxs, labels))
+        return num, den, correct, preds
+
     def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
         loss_unused, (stats_unused, logits, correct) = loss_fn(
             params, batch_stats, wavs, labels, mask, class_weights,
@@ -368,5 +402,15 @@ def make_step_fns(
             check_vma=False,
         )
     )
+    sb = P(None, axis_name)  # (steps, batch) sharded on batch
+    eval_many = jax.jit(
+        jax.shard_map(
+            eval_shard_many,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, sb, sb, rep),
+            out_specs=(rep, rep, rep, sb),
+            check_vma=False,
+        )
+    )
     return TrainStepFns(train_step=train_step, eval_step=eval_step,
-                        train_many=train_many)
+                        train_many=train_many, eval_many=eval_many)

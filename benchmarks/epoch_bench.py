@@ -51,6 +51,8 @@ CFG = {
 
 
 def main():
+    import argparse
+
     from audio_classification_icbhi_tpu.data.dataset_segmented import (
         ICBHISegmentedDataset,
     )
@@ -61,9 +63,21 @@ def main():
     from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS, get_mesh
     from audio_classification_icbhi_tpu.training.trainer import Trainer
 
-    root = generate_segmented_dataset("/tmp/epoch_bench_data", per_class=260,
-                                      duration=3.0, seed=0)
-    for spd in (1, 0, 4):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--per-class", type=int, default=260,
+                    help="synthetic clips per class; the default (~7 optimizer "
+                         "steps/epoch) makes ms/step an epoch-OVERHEAD metric — "
+                         "the one metric fetch (~30-50 ms RPC) plus a few "
+                         "dispatches spread over 7 steps. Use ~1000+ to see the "
+                         "amortized per-step cost of the fused path.")
+    ap.add_argument("--spd", type=int, nargs="*", default=[1, 0, 4],
+                    help="steps_per_dispatch values to compare")
+    args = ap.parse_args()
+
+    root = generate_segmented_dataset(
+        f"/tmp/epoch_bench_data_{args.per_class}", per_class=args.per_class,
+        duration=3.0, seed=0)
+    for spd in args.spd:
         cfg = copy.deepcopy(CFG)
         cfg["training"]["steps_per_dispatch"] = spd
         train = ICBHISegmentedDataset(root, "train", cfg, augment=True)

@@ -278,6 +278,42 @@ class TestTrainerEndToEnd:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
+    def test_fused_validation_matches_per_batch(self, seg_data, tmp_path):
+        """_validate_fused (whole val epoch scanned in ONE eval_many
+        dispatch + per-step tail) must reproduce the per-batch validate
+        exactly: same mean-of-per-batch-criterion loss, same accuracy,
+        same (y_true, y_pred) — the val fixture (~10 clips, batch 8)
+        exercises both the full-batch scan and the padded tail."""
+        config = tiny_config(tmp_path, epochs=1)
+        config["data"]["cache_on_device"] = True
+        train, val = make_datasets(seg_data, config)
+        t = Trainer(build_model(config, axis_name="data"), train, val, config)
+        t.collect_predictions = True
+        t.train_epoch(0)  # real (non-init) params so logits are non-trivial
+
+        many_calls = []
+        orig_many = t.steps.eval_many
+
+        def counting_many(*a, **k):
+            many_calls.append(1)
+            return orig_many(*a, **k)
+
+        t.steps = t.steps._replace(eval_many=counting_many)
+        assert t._use_fused_eval()
+        loss_f, acc_f = t.validate(0)
+        true_f, pred_f = t.val_predictions
+        assert len(many_calls) == 1  # the whole epoch's full batches: ONE dispatch
+
+        t.config["training"]["steps_per_dispatch"] = 1
+        assert not t._use_fused_eval()
+        loss_p, acc_p = t.validate(0)
+        true_p, pred_p = t.val_predictions
+
+        assert loss_f == pytest.approx(loss_p, rel=1e-5)
+        assert acc_f == pytest.approx(acc_p)
+        np.testing.assert_array_equal(true_f, true_p)
+        np.testing.assert_array_equal(pred_f, pred_p)
+
     def test_unsynced_bn_model_rejected_on_multidevice_mesh(self, seg_data, tmp_path):
         """Regression (advisor r1, medium): a model built without
         axis_name on a multi-device mesh silently diverges its BatchNorm
