@@ -37,7 +37,11 @@ from audio_classification_icbhi_tpu.parallel.data_parallel import make_step_fns
 from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS, get_mesh
 from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
 from audio_classification_icbhi_tpu.training.schedules import build_scheduler
-from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from audio_classification_icbhi_tpu.utils.checkpoint import (
+    AsyncCheckpointWriter,
+    load_checkpoint,
+    save_checkpoint,
+)
 from audio_classification_icbhi_tpu.utils.tensorboard import SummaryWriter
 
 
@@ -145,6 +149,13 @@ class Trainer:
 
         self.checkpoint_dir = Path(tcfg.get("checkpoint_dir", "checkpoints"))
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        # training.async_checkpoint (default on): checkpoint writes snapshot
+        # state on device and fetch/serialize on a worker thread, so the
+        # device->host crawl (seconds per save through the tunnel) overlaps
+        # the next epoch instead of blocking it. train() waits before
+        # returning — files on disk are identical to synchronous saves.
+        self.async_checkpoint = bool(tcfg.get("async_checkpoint", True))
+        self._ckpt_writer = None
         self.writer = SummaryWriter(log_dir=tcfg.get("log_dir", "runs"))
 
         self.history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
@@ -468,6 +479,18 @@ class Trainer:
         print(f"Batch size: {self.batch_size} (grad accum {self.accum_steps})")
         print(f"Learning rate: {self.learning_rate}")
 
+        try:
+            self._train_loop(profile_dir)
+        finally:
+            # a printed "✓ saved" must mean a durable file even when a later
+            # epoch raises (tunnel RPC error, Ctrl-C): drain queued async
+            # writes on ANY exit, and retire the worker thread
+            self.wait_for_checkpoints(close=True)
+        print("\n✓ Training completed!")
+        self.writer.close()
+        return self.history
+
+    def _train_loop(self, profile_dir: str | None) -> None:
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             tracing = profile_dir is not None and epoch == self.start_epoch
@@ -528,10 +551,6 @@ class Trainer:
                 print(f"\nEarly stopping triggered after {epoch + 1} epochs")
                 break
 
-        print("\n✓ Training completed!")
-        self.writer.close()
-        return self.history
-
     def _extend_history(self, extra: dict) -> None:
         pass
 
@@ -570,7 +589,25 @@ class Trainer:
         # training.checkpoint_format: "msgpack" (single file, default) or
         # "orbax" (directory; sharded-array/multi-host-aware writes)
         fmt = self.config["training"].get("checkpoint_format", "msgpack")
-        save_checkpoint(path, self._checkpoint_payload(epoch, val_loss, extra or {}), format=fmt)
+        payload = self._checkpoint_payload(epoch, val_loss, extra or {})
+        if self.async_checkpoint:
+            if self._ckpt_writer is None:
+                self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer.save(path, payload, format=fmt)
+        else:
+            save_checkpoint(path, payload, format=fmt)
+
+    def wait_for_checkpoints(self, close: bool = False) -> None:
+        """Block until every queued async checkpoint write is on disk
+        (no-op when async_checkpoint is off or nothing was saved).
+        close=True also retires the worker thread; a later save()
+        transparently gets a fresh writer (lazy construction)."""
+        if self._ckpt_writer is not None:
+            if close:
+                writer, self._ckpt_writer = self._ckpt_writer, None
+                writer.close()
+            else:
+                self._ckpt_writer.wait()
 
     def restore(self, path) -> None:
         """Resume from a checkpoint (capability the reference lacks).
@@ -580,6 +617,7 @@ class Trainer:
         run matches an uninterrupted one epoch for epoch (tested). Legacy
         checkpoints without that state fall back to replaying the scheduler.
         """
+        self.wait_for_checkpoints()  # a queued write may be the file we read
         ckpt = load_checkpoint(path)
         # restore into existing pytree structure (msgpack returns plain dicts)
         from flax import serialization

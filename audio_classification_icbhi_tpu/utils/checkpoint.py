@@ -127,6 +127,88 @@ def load_checkpoint(path: str | Path) -> dict[str, Any]:
     return data
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint writes for the training loop.
+
+    A synchronous save_checkpoint blocks training while the whole state
+    tree (params + batch_stats + opt_state: ~12 MB for the CNN, ~135 MB
+    for ResNet18+adam) crawls device->host — through the TPU tunnel this
+    repo benchmarks on that is seconds per save, often longer than the
+    fused train epoch itself. save() instead snapshots the tree with an
+    on-device copy (HBM->HBM, an async dispatch that costs microseconds
+    to enqueue) and hands fetch+serialize+write to a single worker
+    thread, so the next train dispatch overlaps the transfer.
+
+    The device copy is also what makes the snapshot immune to buffer
+    donation: the next train step donates (invalidates) the live state
+    buffers, but the copy owns fresh ones (pinned by
+    tests/test_training.py::test_async_writer_survives_donation).
+
+    wait() blocks until every queued write is on disk and re-raises the
+    first worker error; Trainer.train() waits before returning, so the
+    files-on-disk contract is byte-identical to synchronous saves.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)  # bounds HBM snapshots
+        self._errors: list[BaseException] = []
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True
+        )
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is not None:
+                    path, snap, fmt = item
+                    save_checkpoint(path, snap, format=fmt)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+            if item is None:
+                return
+
+    def _raise_pending(self):
+        if self._errors:
+            raise RuntimeError(
+                "async checkpoint write failed"
+            ) from self._errors.pop(0)
+
+    def save(self, path: str | Path, checkpoint: dict[str, Any], format: str = "msgpack"):
+        """Snapshot on device and queue the write; returns immediately
+        (blocks only if 2 writes are already in flight)."""
+        import jax.numpy as jnp
+
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointWriter is closed")
+        self._raise_pending()
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, checkpoint
+        )
+        self._q.put((Path(path), snap, format))
+
+    def wait(self):
+        """Block until all queued writes are on disk; re-raise worker errors."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        self._q.join()
+        self._q.put(None)
+        self._worker.join()
+        self._raise_pending()
+
+
 def latest_checkpoint(checkpoint_dir: str | Path) -> Path | None:
     """Most recent periodic checkpoint (checkpoint_epoch_{N}) for resume —
     an improvement over the reference, which saves periodically but has no

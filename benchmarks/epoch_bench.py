@@ -99,6 +99,18 @@ def main():
         print(f"{label:20s}: {dt:.3f} s/epoch ({n} clips, ~{steps} steps, "
               f"{n / dt:7,.0f} clips/s, {dt / steps * 1000:6.1f} ms/step)",
               flush=True)
+        # validation epoch: spd=1 pays one dispatch + blocking metric sync
+        # per val batch; spd!=1 scans every full batch in ONE eval_many
+        # dispatch (+ per-step tail) and fetches metrics once
+        t.validate(0)  # compile
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            t.validate(0)
+        dv = (time.perf_counter() - t0) / epochs
+        nv = len(val)
+        mode = "fused eval_many" if t._use_fused_eval() else "per-batch eval"
+        print(f"{'  val (' + mode + ')':32s}: {dv * 1000:7.1f} ms/epoch "
+              f"({nv} clips, {nv / dv:7,.0f} clips/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -314,6 +314,37 @@ class TestTrainerEndToEnd:
         np.testing.assert_array_equal(true_f, true_p)
         np.testing.assert_array_equal(pred_f, pred_p)
 
+    def test_async_checkpoint_durable_across_midtrain_crash(self, seg_data, tmp_path):
+        """A printed 'Best model saved' must mean a durable file even when a
+        later epoch raises: train() drains the async writer in a finally,
+        so the epoch-0 best checkpoint is complete and loadable after a
+        crash in epoch 1 (tunnel RPC errors / Ctrl-C in real runs)."""
+        config = tiny_config(tmp_path, epochs=3)
+        train, val = make_datasets(seg_data, config)
+        t = Trainer(build_model(config, axis_name="data"), train, val, config)
+        assert t.async_checkpoint  # the default
+
+        calls = []
+        orig = t.validate
+
+        def crashing_validate(epoch):
+            if calls:
+                raise RuntimeError("simulated mid-train failure")
+            calls.append(epoch)
+            return orig(epoch)
+
+        t.validate = crashing_validate
+        with pytest.raises(RuntimeError, match="simulated"):
+            t.train()
+        assert t._ckpt_writer is None  # worker retired by the finally
+        ckpt = load_checkpoint(tmp_path / "ckpts" / "best_model.ckpt")
+        assert ckpt["epoch"] == 0
+        assert ckpt["config"]["model"]["architecture"] == "cnn"
+        # resumable: a fresh trainer restores from the crash artifact
+        t2 = Trainer(build_model(config, axis_name="data"), train, val, config)
+        t2.restore(tmp_path / "ckpts" / "best_model.ckpt")
+        assert t2.start_epoch == 1
+
     def test_unsynced_bn_model_rejected_on_multidevice_mesh(self, seg_data, tmp_path):
         """Regression (advisor r1, medium): a model built without
         axis_name on a multi-device mesh silently diverges its BatchNorm

@@ -259,6 +259,48 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             save_checkpoint(tmp_path / "x.ckpt", {"epoch": 0}, format="pickle")
 
+    def test_async_writer_survives_donation(self, tmp_path):
+        """AsyncCheckpointWriter.save snapshots with an on-device copy, so
+        the written file carries save-time values even when the live
+        buffers are donated (invalidated) by the very next dispatch —
+        exactly what the fused train loop does to params/opt_state."""
+        import jax
+        import jax.numpy as jnp
+
+        from audio_classification_icbhi_tpu.utils.checkpoint import (
+            AsyncCheckpointWriter,
+        )
+
+        params = jnp.arange(8, dtype=jnp.float32)
+        expect = np.asarray(params).copy()
+        w = AsyncCheckpointWriter()
+        try:
+            w.save(tmp_path / "async.ckpt", {"epoch": 1, "params": {"x": params}})
+            # donate the live buffer: after this, `params` is deleted and
+            # any fetch of it would raise — the snapshot must not care
+            bumped = jax.jit(lambda p: p + 1.0, donate_argnums=0)(params)
+            bumped.block_until_ready()
+            w.wait()
+        finally:
+            w.close()
+        back = load_checkpoint(tmp_path / "async.ckpt")
+        np.testing.assert_array_equal(back["params"]["x"], expect)
+
+    def test_async_writer_raises_worker_errors(self, tmp_path):
+        from audio_classification_icbhi_tpu.utils.checkpoint import (
+            AsyncCheckpointWriter,
+        )
+
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("file, not dir")
+        w = AsyncCheckpointWriter()
+        w.save(blocker / "sub" / "x.ckpt", {"epoch": 0})  # mkdir will fail
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            w.wait()
+        w.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            w.save(tmp_path / "y.ckpt", {"epoch": 0})  # no worker would drain it
+
 
 class TestTensorBoard:
     def test_write_and_read_scalars(self, tmp_path):
