@@ -314,35 +314,10 @@ def make_step_fns(
         )
         return params, batch_stats, opt_state, metrics
 
-    def eval_shard_many(params, batch_stats, cache, idxs, labels, class_weights):
-        """Whole-val-epoch eval in one program (the eval counterpart of
-        train_shard_many). cache: (N, L) replicated waveforms; idxs/labels:
-        (S, b_local) global dataset indices / labels, batch-sharded. Only
-        FULL batches ride this path (mask ≡ 1 — Trainer keeps the padded
-        per-dispatch eval_step for the tail), so per-batch loss sums
-        (num, den) and correct counts come back as (S,) replicated arrays
-        and argmax predictions as (S, b_local), letting the host fetch an
-        entire validation epoch in two RPCs instead of S blocking syncs."""
-        mask = jnp.ones((idxs.shape[1],), jnp.float32)
-
-        def one(_, xs):
-            idx, lab = xs
-            wavs = jnp.take(cache, idx, axis=0)
-            _, (_, logits, correct) = loss_fn(
-                params, batch_stats, wavs, lab, mask, class_weights,
-                jax.random.PRNGKey(0), False,
-            )
-            num, den = weighted_cross_entropy(logits, lab, class_weights, mask)
-            num = jax.lax.psum(num, axis_name)
-            den = jax.lax.psum(den, axis_name)
-            correct = jax.lax.psum(correct, axis_name)
-            preds = jnp.argmax(logits, -1).astype(jnp.int32)
-            return None, (num, den, correct, preds)
-
-        _, (num, den, correct, preds) = jax.lax.scan(one, None, (idxs, labels))
-        return num, den, correct, preds
-
-    def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
+    def _eval_core(params, batch_stats, wavs, labels, mask, class_weights):
+        """Per-batch eval computation shared by eval_shard and
+        eval_shard_many's scan body, so the fused and per-step validation
+        paths cannot diverge."""
         loss_unused, (stats_unused, logits, correct) = loss_fn(
             params, batch_stats, wavs, labels, mask, class_weights,
             jax.random.PRNGKey(0), False,
@@ -352,6 +327,31 @@ def make_step_fns(
         den = jax.lax.psum(den, axis_name)
         correct = jax.lax.psum(correct, axis_name)
         return logits, num, den, correct
+
+    def eval_shard_many(params, batch_stats, cache, idxs, labels, class_weights):
+        """Chunk-of-val-epoch eval in one program (the eval counterpart of
+        train_shard_many). cache: (N, L) replicated waveforms; idxs/labels:
+        (S, b_local) global dataset indices / labels, batch-sharded. Only
+        FULL batches ride this path (mask ≡ 1 — Trainer keeps the padded
+        per-dispatch eval_step for the tail), so per-batch loss sums
+        (num, den) and correct counts come back as (S,) replicated arrays
+        and argmax predictions as (S, b_local), letting the host fetch an
+        entire validation chunk in two RPCs instead of S blocking syncs."""
+        mask = jnp.ones((idxs.shape[1],), jnp.float32)
+
+        def one(_, xs):
+            idx, lab = xs
+            wavs = jnp.take(cache, idx, axis=0)
+            logits, num, den, correct = _eval_core(
+                params, batch_stats, wavs, lab, mask, class_weights
+            )
+            return None, (num, den, correct, jnp.argmax(logits, -1).astype(jnp.int32))
+
+        _, (num, den, correct, preds) = jax.lax.scan(one, None, (idxs, labels))
+        return num, den, correct, preds
+
+    def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
+        return _eval_core(params, batch_stats, wavs, labels, mask, class_weights)
 
     rep = P()
     batched = P(axis_name)
@@ -402,15 +402,19 @@ def make_step_fns(
             check_vma=False,
         )
     )
-    sb = P(None, axis_name)  # (steps, batch) sharded on batch
-    eval_many = jax.jit(
-        jax.shard_map(
-            eval_shard_many,
-            mesh=mesh,
-            in_specs=(rep, rep, rep, sb, sb, rep),
-            out_specs=(rep, rep, rep, sb),
-            check_vma=False,
+    eval_many = None
+    if train_many is not None:
+        # built only alongside train_many (fp16 dynamic-loss-scale runs get
+        # neither), so the fused/per-step split is the same for train and eval
+        sb = P(None, axis_name)  # (steps, batch) sharded on batch
+        eval_many = jax.jit(
+            jax.shard_map(
+                eval_shard_many,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, sb, sb, rep),
+                out_specs=(rep, rep, rep, sb),
+                check_vma=False,
+            )
         )
-    )
     return TrainStepFns(train_step=train_step, eval_step=eval_step,
                         train_many=train_many, eval_many=eval_many)

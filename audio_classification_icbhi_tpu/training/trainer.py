@@ -334,21 +334,27 @@ class Trainer:
         total = float(np.asarray(jnp.stack([m["count"] for m in step_metrics])).sum())
         return float(losses.mean()), 100.0 * correct / max(total, 1.0)
 
+    def _pad_eval_batch(self, wavs, labels):
+        """Pad a partial batch to batch_size with a validity mask — the ONE
+        place the eval padding discipline lives (shared by _eval_batches and
+        _validate_fused's tail, so the two validation paths cannot diverge)."""
+        b = wavs.shape[0]
+        mask = np.ones((self.batch_size,), np.float32)
+        if b < self.batch_size:
+            pad = self.batch_size - b
+            xp = np if isinstance(wavs, np.ndarray) else jnp
+            wavs = xp.concatenate(
+                [wavs, xp.zeros((pad,) + wavs.shape[1:], wavs.dtype)]
+            )
+            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+            mask[b:] = 0.0
+        return wavs, labels, mask, b
+
     def _eval_batches(self, loader):
         """Pad partial batches to batch_size with a validity mask so one
         compiled eval graph serves the whole loader."""
         for wavs, labels in loader:
-            b = wavs.shape[0]
-            mask = np.ones((self.batch_size,), np.float32)
-            if b < self.batch_size:
-                pad = self.batch_size - b
-                xp = np if isinstance(wavs, np.ndarray) else jnp
-                wavs = xp.concatenate(
-                    [wavs, xp.zeros((pad,) + wavs.shape[1:], wavs.dtype)]
-                )
-                labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
-                mask[b:] = 0.0
-            yield wavs, labels, mask, b
+            yield self._pad_eval_batch(wavs, labels)
 
     def _use_fused_eval(self) -> bool:
         """Fused validation: same prerequisites and knob as the train side
@@ -364,23 +370,29 @@ class Trainer:
         return int(self.config["training"].get("steps_per_dispatch", 0)) != 1
 
     def _validate_fused(self) -> tuple[float, float]:
-        """One eval_many dispatch for every full val batch (+ the per-step
-        padded path for the tail), two fetches per epoch. Loss keeps the
+        """Full val batches scan on device in eval_many dispatches — one per
+        steps_per_dispatch chunk (0 = the whole epoch in one program, K
+        bounds program size exactly like the train side) — two fetches per
+        chunk; the tail batch keeps the per-step padded path. Loss keeps the
         reference's mean-of-per-batch-criterion semantics
         (trainer_fixed.py:224,237), identical to the per-batch path
-        (equivalence pinned in tests/test_training.py)."""
+        (equivalence pinned in tests/test_trainer_e2e.py::
+        test_fused_validation_matches_per_batch)."""
         loader = self.val_loader
-        idxs = loader.epoch_index_batches()  # (S, B) in loader order
+        batches = loader._batch_indices()  # loader order: full first, tail last
+        full = [i for i in batches if len(i) == self.batch_size]
         ratios, corrects = [], []
         total = 0.0
         kept_true, kept_pred = [], []
-        if idxs.shape[0]:
+        spd = int(self.config["training"].get("steps_per_dispatch", 0)) or len(full)
+        for s in range(0, len(full), max(spd, 1)):
+            idxs = np.stack(full[s:s + spd]).astype(np.int32)  # (k, B)
             labels = loader.labels_all[idxs]
             num, den, corr, preds = self.steps.eval_many(
                 self.params, self.batch_stats, loader.cache,
                 jnp.asarray(idxs), jnp.asarray(labels), self.class_weights,
             )
-            packed = np.asarray(jnp.stack([num, den, corr]))  # (3, S): one RPC
+            packed = np.asarray(jnp.stack([num, den, corr]))  # (3, k): one RPC
             ratios += list(packed[0] / np.maximum(packed[1], 1e-12))
             corrects.append(packed[2].sum())
             total += idxs.size
@@ -388,17 +400,11 @@ class Trainer:
                 kept_true.append(labels.reshape(-1))
                 kept_pred.append(np.asarray(preds).reshape(-1))  # RPC two
         # tail (< batch_size): the existing padded+masked per-dispatch path
-        for tail_idx in (b for b in loader._batch_indices()
-                         if len(b) < self.batch_size):
-            b = len(tail_idx)
+        for tail_idx in (i for i in batches if len(i) < self.batch_size):
             wavs = loader._gather(loader.cache, jnp.asarray(tail_idx))
-            labels = loader.labels_all[tail_idx]
-            mask = np.ones((self.batch_size,), np.float32)
-            pad = self.batch_size - b
-            wavs = jnp.concatenate(
-                [wavs, jnp.zeros((pad,) + wavs.shape[1:], wavs.dtype)])
-            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
-            mask[b:] = 0.0
+            wavs, labels, mask, b = self._pad_eval_batch(
+                wavs, loader.labels_all[tail_idx]
+            )
             logits, num, den, corr = self.steps.eval_step(
                 self.params, self.batch_stats, wavs, labels, mask, self.class_weights
             )
@@ -481,11 +487,17 @@ class Trainer:
 
         try:
             self._train_loop(profile_dir)
-        finally:
+        except BaseException:
             # a printed "✓ saved" must mean a durable file even when a later
             # epoch raises (tunnel RPC error, Ctrl-C): drain queued async
-            # writes on ANY exit, and retire the worker thread
-            self.wait_for_checkpoints(close=True)
+            # writes — but never let a drain failure mask the PRIMARY error
+            # the operator needs to debug
+            try:
+                self.wait_for_checkpoints(close=True)
+            except Exception:
+                pass
+            raise
+        self.wait_for_checkpoints(close=True)  # clean exit: errors surface
         print("\n✓ Training completed!")
         self.writer.close()
         return self.history

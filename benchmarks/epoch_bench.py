@@ -70,7 +70,7 @@ def main():
                          "the one metric fetch (~30-50 ms RPC) plus a few "
                          "dispatches spread over 7 steps. Use ~1000+ to see the "
                          "amortized per-step cost of the fused path.")
-    ap.add_argument("--spd", type=int, nargs="*", default=[1, 0, 4],
+    ap.add_argument("--spd", type=int, nargs="+", default=[1, 0, 4],
                     help="steps_per_dispatch values to compare")
     args = ap.parse_args()
 
