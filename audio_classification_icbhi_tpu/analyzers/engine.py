@@ -68,7 +68,9 @@ class FlexibleMelFrontend:
     """
 
     def __init__(self, sample_rate: int, n_mels: int, n_fft: int, hop_length: int,
-                 duration: float, backend: str = "auto"):
+                 duration: float, backend: str = "auto",
+                 f_min: float = 0.0, f_max: float | None = None,
+                 top_db: float | None = None):
         self.sample_rate = sample_rate
         self.n_mels = n_mels
         self.duration = duration
@@ -79,9 +81,12 @@ class FlexibleMelFrontend:
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.target_time_steps = max(int(math.ceil(self.target_length / hop_length)), 32)
+        # f_min/f_max/top_db flow through from the checkpoint config so the
+        # analyzer computes the SAME features the model trained on
         self._inner = mel_ops.MelFrontend(
             sample_rate=sample_rate, n_mels=n_mels, n_fft=self.n_fft,
             hop_length=self.hop_length, duration=duration,
+            f_min=f_min, f_max=f_max, top_db=top_db,
             use_matmul_dft=True, normalize=True, backend=backend,
         )
 
@@ -111,7 +116,7 @@ class AnalyzerEngine:
         model_path: str,
         segment_duration: float = 1.0,
         overlap: float = 0.5,
-        sample_rate: int = 16000,
+        sample_rate: int | None = None,
         crackle_threshold: float = 0.3,
         wheeze_threshold: float = 0.3,
         mode: str = "threshold",
@@ -122,9 +127,15 @@ class AnalyzerEngine:
         the data-parallel analog of sequence parallelism for this workload
         (SURVEY.md §5 long-context row): arbitrary recording length scales by
         splitting windows over the mesh, with one jitted graph."""
+        if mode not in ("threshold", "legacy"):
+            raise ValueError(f"unknown analyzer mode {mode!r} "
+                             "(expected 'threshold' or 'legacy')")
         self.mesh = mesh
         self.classifier = ClassifierEngine(model_path)
         dcfg = self.classifier.config["data"]
+        # None = the checkpoint's training sample rate; the analyzer wrapper
+        # scripts pass 16000 explicitly for reference parity
+        # (realtime_analyzer.py:134 hardcodes librosa.load(sr=16000))
         self.sample_rate = sample_rate or dcfg["sample_rate"]
         self.segment_duration = segment_duration
         self.overlap = overlap
@@ -139,6 +150,9 @@ class AnalyzerEngine:
             n_fft=dcfg["n_fft"],
             hop_length=dcfg["hop_length"],
             duration=segment_duration,
+            f_min=dcfg.get("f_min", 0.0),
+            f_max=dcfg.get("f_max"),
+            top_db=dcfg.get("top_db"),
         )
 
     # ---------------------------------------------------------------- audio
@@ -163,12 +177,13 @@ class AnalyzerEngine:
         hop = max(int(seg * (1 - self.overlap)), 1)
         n = len(audio)
         duration = n / self.sample_rate
-        starts_idx = list(range(0, max(n - seg, 0) + 1, hop))
+        # reference loop: range(0, len(audio) - segment_samples + 1, hop) —
+        # EMPTY when the recording is shorter than one segment, so short
+        # audio becomes a single zero-padded tail window (the old max(...)
+        # clamp emitted an UNPADDED short first window, crashing np.stack)
+        starts_idx = list(range(0, n - seg + 1, hop))
         tail = None
-        if starts_idx:
-            next_start = starts_idx[-1] + hop
-        else:
-            next_start = 0
+        next_start = starts_idx[-1] + hop if starts_idx else 0
         if next_start < n:
             tail = next_start
         windows, starts, ends = [], [], []
@@ -185,6 +200,8 @@ class AnalyzerEngine:
             f"✓ Created {len(windows)} segments ({self.segment_duration}s each, "
             f"{self.overlap * 100:.0f}% overlap)"
         )
+        if not windows:  # zero-length audio
+            return (np.zeros((0, seg), np.float32), np.zeros(0), np.zeros(0))
         return np.stack(windows).astype(np.float32), np.array(starts), np.array(ends)
 
     # ---------------------------------------------------------------- jitted path

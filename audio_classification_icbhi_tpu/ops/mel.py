@@ -227,8 +227,6 @@ def _log_mel_radix2_xla(
     (~5e-4 dB worst case) at 2/3 the passes of XLA HIGHEST; or a
     jax.lax.Precision for the stock XLA behavior.
     """
-    from audio_classification_icbhi_tpu.ops import stft as stft_ops
-
     ce, se, co, so, cj, sj, fb_lo, fb_hi = _radix2_xla_constants(
         sample_rate, n_fft, n_mels, mel_scale, norm, float(f_min),
         None if f_max is None else float(f_max),

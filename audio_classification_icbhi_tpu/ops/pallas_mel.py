@@ -63,12 +63,9 @@ def _constants(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str, norm,
 
 
 def _split_bf16(x: np.ndarray) -> np.ndarray:
-    """f32 -> stacked (2, ...) bf16 hi/lo components with x ~= hi + lo."""
-    import ml_dtypes
-
-    hi = x.astype(ml_dtypes.bfloat16)
-    lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return np.stack([np.asarray(hi), np.asarray(lo)])
+    """f32 -> stacked (2, ...) bf16 hi/lo components with x ~= hi + lo
+    (one split implementation for the whole repo: ops/mel._split_bf16_np)."""
+    return np.stack(mel_ops._split_bf16_np(x))
 
 
 @functools.lru_cache(maxsize=8)
@@ -98,39 +95,20 @@ def _constants_radix2(sample_rate: int, n_fft: int, n_mels: int, mel_scale: str,
         power[1024+j'] folds via A,B,D at j = 1024-k (upper half)
         power[1024]   = A[0] - 2 B[0]                (Nyquist)
     Verified exact (1e-9 vs rfft) in numpy before kerneling.
+
+    The unpadded derivation (windowed even/odd DFT matrices, twiddle
+    vectors, conjugate-folded fb_lo/fb_hi — incl. the explicit re/im
+    reconstruction rationale and the fb_hi[j] = fb[n_fft/2 - j]
+    pre-permutation) lives ONCE in ops/mel._radix2_xla_constants, shared
+    with the XLA radix-2 path; this wrapper only pads to lane multiples
+    and splits bf16 hi/lo for the kernel.
     """
     h = n_fft // 2          # 1024
     nb = h // 2 + 1         # 513 half-spectrum bins
-    m = np.arange(h)
-    k = np.arange(nb)
-    ang = 2.0 * np.pi * np.outer(m, k) / h
-    n = np.arange(n_fft)
-    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
-    ce = (w[0::2][:, None] * np.cos(ang)).astype(np.float32)
-    se = (w[0::2][:, None] * np.sin(ang)).astype(np.float32)
-    co = (w[1::2][:, None] * np.cos(ang)).astype(np.float32)
-    so = (w[1::2][:, None] * np.sin(ang)).astype(np.float32)
-
-    fb = np.asarray(
-        mel_ops._mel_filterbank_np(
-            sample_rate, n_fft, n_mels, float(f_min),
-            sample_rate / 2.0 if f_max is None else float(f_max),
-            mel_scale, norm)
-    ).astype(np.float64)
-    # Explicit re/im reconstruction per half avoids the catastrophic
-    # cancellation a fully-folded (A,B,D) form suffers on near-empty bins:
-    #   lower half (k = j = 0..512):      X = (P + cR - sT) - i(Q + cT + sR)
-    #   upper half (k = 1024 - j):        X = (P - cR + sT) + i(Q - cT - sR)
-    # with c = cos(pi j/1024), s = sin(pi j/1024). Upper-half mel weights are
-    # the filterbank rows PRE-PERMUTED to j-order: fb_hi[j] = fb[1024-j]
-    # (fb_hi[0] carries the Nyquist bin 1024; fb_hi[512] zeroed since bin
-    # 512 already lives in the lower half).
-    cj = np.cos(np.pi * np.arange(nb) / h)
-    sj = np.sin(np.pi * np.arange(nb) / h)
-    fb_lo = fb[:nb, :].copy()
-    fb_hi = np.zeros_like(fb_lo)
-    for j in range(0, nb - 1):  # j=0 -> Nyquist bin 1024, j=1..511 -> bins 1023..513
-        fb_hi[j] = fb[n_fft // 2 - j]
+    ce, se, co, so, cj, sj, fb_lo, fb_hi = mel_ops._radix2_xla_constants(
+        sample_rate, n_fft, n_mels, mel_scale, norm, float(f_min),
+        None if f_max is None else float(f_max),
+    )
 
     nb_pad = _round_up(nb, 128)
     m_pad = _round_up(n_mels, 128)
@@ -1338,7 +1316,7 @@ def log_mel_pallas(
     top_db: float | None = None,
     mel_scale: str = "htk",
     norm: str | None = None,
-    algorithm: str = "radix2",  # "radix4_fused" | "radix2_fused" | "radix2" | "bf16x3" | "f32"
+    algorithm: str = "radix2",  # "radix8dif_fused" | "radix4dif_fused" | "radix4_fused" | "radix2_fused" | "radix2" | "bf16x3" | "f32"
     normalize: bool = False,
     tile_t: int = 64,
     f_tile: int = 512,
@@ -1356,10 +1334,12 @@ def log_mel_pallas(
     use_matmul_dft=True) (torchaudio MelSpectrogram + AmplitudeToDB chain,
     reference preprocessing.py:38-47). For the tiled algorithms top_db clips
     per example against its global dB peak, so it applies after the kernel (a
-    block never sees the whole example); "radix2_fused" processes one whole
-    example per grid cell and applies top_db — and, with normalize=True, the
-    per-example zero-mean/unit-var normalize (ops.mel.normalize_spectrogram,
-    reference preprocessing.py:111-116) — inside the kernel.
+    block never sees the whole example); every *_fused algorithm (radix2/
+    radix4/radix4dif/radix8dif) processes whole examples per grid cell and
+    applies top_db — and, with normalize=True, the per-example zero-mean/
+    unit-var normalize (ops.mel.normalize_spectrogram, reference
+    preprocessing.py:111-116), plus optional SpecAugment masking via
+    spec_mask_bounds — inside the kernel epilogue.
     """
     if waveform.ndim == 1:
         return log_mel_pallas(

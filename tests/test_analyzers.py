@@ -96,6 +96,73 @@ class TestWindowing:
         audio = eng.load_audio(str(p))
         assert len(audio) == 4000 * 15
 
+    def test_audio_shorter_than_one_segment(self, tiny_ckpt):
+        """Sub-segment recordings become ONE zero-padded tail window
+        (reference realtime_analyzer.py:141-182: the main loop's range is
+        empty when len(audio) < segment_samples). Regression: the old
+        max(n - seg, 0) clamp emitted an unpadded short first window,
+        crashing np.stack (overlap>0) or shipping a wrong-length batch
+        (overlap=0)."""
+        for overlap in (0.5, 0.0):
+            eng = make_engine(tiny_ckpt, overlap=overlap)
+            audio = np.ones(2800, np.float32)  # 0.7 s at 4 kHz
+            windows, starts, ends = eng.segment_audio(audio)
+            assert windows.shape == (1, 4000)
+            assert starts[0] == 0.0 and ends[0] == pytest.approx(0.7)
+            assert windows[0, 2800:].sum() == 0.0  # zero-padded
+            assert windows[0, :2800].sum() == 2800.0
+
+    def test_empty_audio(self, tiny_ckpt):
+        eng = make_engine(tiny_ckpt)
+        windows, starts, ends = eng.segment_audio(np.zeros(0, np.float32))
+        assert windows.shape == (0, 4000) and starts.size == 0 and ends.size == 0
+
+    def test_unknown_mode_rejected(self, tiny_ckpt):
+        with pytest.raises(ValueError, match="unknown analyzer mode"):
+            make_engine(tiny_ckpt, mode="Legacy")
+
+    def test_sample_rate_defaults_to_checkpoint_config(self, tiny_ckpt):
+        eng = AnalyzerEngine(tiny_ckpt, segment_duration=1.0)  # no sample_rate
+        assert eng.sample_rate == 4000  # from the embedded config
+
+    def test_frontend_honors_config_fmax(self, tmp_path):
+        """f_min/f_max/top_db from the checkpoint config must reach the
+        analyzer's mel chain — a model trained with f_max=1000 analyzed with
+        an f_max=sr/2 filterbank would see silently different features."""
+        import jax.numpy as jnp
+
+        config = {
+            "data": {
+                "dataset_path": "x", "sample_rate": 4000, "n_mels": 32,
+                "n_fft": 256, "hop_length": 64, "duration": 1.0,
+                "augmentation": False, "f_max": 1000.0,
+            },
+            "model": {"architecture": "cnn", "num_classes": 4, "dropout": 0.1},
+            "training": {"batch_size": 8, "mixed_precision": False},
+            "classes": ["normal", "crackles", "wheezes", "both"],
+            "seed": 0,
+        }
+        model = build_model(config)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 63, 1)),
+                               train=False)
+        path = tmp_path / "fmax.ckpt"
+        save_checkpoint(path, {
+            "epoch": 0, "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "val_loss": 1.0, "config": config,
+            "class_weights": np.ones(4, np.float32),
+        })
+        eng = AnalyzerEngine(str(path), segment_duration=1.0)
+        from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+
+        expect = MelFrontend.from_config(config, duration=1.0, normalize=True,
+                                         use_matmul_dft=True)
+        wav = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(eng.frontend(wav)), np.asarray(expect(wav)),
+            rtol=1e-5, atol=1e-5,
+        )
+
 
 class TestDetectionSemantics:
     def _result(self, eng, probs):
