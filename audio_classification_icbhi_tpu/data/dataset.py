@@ -95,14 +95,9 @@ class ICBHIDataset:
         return np.array([lbl for _, lbl in self.data], dtype=np.int32)
 
     def _pad_or_crop(self, x: np.ndarray) -> np.ndarray:
-        """End-pad with zeros or center-crop (reference preprocessing.py:70-83)."""
-        n = x.shape[-1]
-        if n < self.target_length:
-            return np.pad(x, (0, self.target_length - n))
-        if n > self.target_length:
-            start = (n - self.target_length) // 2
-            return x[start : start + self.target_length]
-        return x
+        from audio_classification_icbhi_tpu.data.wavio import pad_or_crop
+
+        return pad_or_crop(x, self.target_length)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, int]:
         """-> ((target_length,) float32 waveform, label)."""

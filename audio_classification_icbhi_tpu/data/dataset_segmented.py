@@ -64,11 +64,11 @@ class ICBHISegmentedDataset:
 
     def _split_data(self, config):
         total = len(self.data)
-        if config:
-            train_split = config["data"].get("train_split", 0.7)
-            val_split = config["data"].get("val_split", 0.15)
-        else:
-            train_split, val_split = 0.7, 0.15
+        # same tolerant section lookup as __init__ (a config without a
+        # "data" section used to KeyError here while __init__ accepted it)
+        data_cfg = (config or {}).get("data", {})
+        train_split = data_cfg.get("train_split", 0.7)
+        val_split = data_cfg.get("val_split", 0.15)
         if train_split + val_split >= 1.0:
             fixed = (1.0 - train_split) * 0.5
             print(
@@ -104,13 +104,9 @@ class ICBHISegmentedDataset:
         return np.array([lbl for _, lbl in self.data], dtype=np.int32)
 
     def _pad_or_crop(self, x: np.ndarray) -> np.ndarray:
-        n = x.shape[-1]
-        if n < self.target_length:
-            return np.pad(x, (0, self.target_length - n))
-        if n > self.target_length:
-            start = (n - self.target_length) // 2
-            return x[start : start + self.target_length]
-        return x
+        from audio_classification_icbhi_tpu.data.wavio import pad_or_crop
+
+        return pad_or_crop(x, self.target_length)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, int]:
         path, label = self.data[idx]

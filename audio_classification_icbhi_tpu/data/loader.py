@@ -4,7 +4,9 @@ Replaces the reference's torch DataLoader worker pool
 (reference: src/training/trainer_fixed.py:35-50, num_workers=4, pin_memory,
 drop_last) with a thread-based double-buffered loader: worker threads decode
 wav bytes into preallocated numpy batch buffers while the device computes,
-and a bounded queue provides the prefetch/backpressure. Threads (not
+and a lookahead window on batch indices provides the prefetch/backpressure
+(at most prefetch+num_threads decoded batches ahead of the consumer,
+whatever the per-batch decode-time skew). Threads (not
 processes) suffice because the host work is numpy/file-IO which releases the
 GIL, and everything heavier (mel, augmentation) runs on-device.
 """
@@ -78,14 +80,23 @@ class BatchLoader:
         batches = self._batch_indices()
         if not batches:
             return
-        # In-flight bound = prefetch: workers park on the semaphore until the
-        # consumer drains, giving double-buffered backpressure.
-        inflight = threading.Semaphore(self.prefetch)
+        # Backpressure = a LOOKAHEAD WINDOW on batch indices: a worker may
+        # START batch bi only while bi < next_bi + window, so one slow batch
+        # can park at most `window` completed successors in host memory.
+        # (History: a semaphore released when out-of-order batches were
+        # parked let a fast worker run unboundedly ahead of one slow batch —
+        # O(all batches) of decoded waveforms in RAM; NOT releasing parked
+        # batches' slots deadlocked both sides. The window has neither
+        # failure mode: batch next_bi always satisfies the predicate, so the
+        # in-order batch can always be decoded.)
+        window = self.prefetch + self.num_threads
         work_q: queue.Queue = queue.Queue()
         done_q: queue.Queue = queue.Queue()
         for bi, idxs in enumerate(batches):
             work_q.put((bi, idxs))
         stop = threading.Event()
+        cursor = [0]  # next_bi, read by workers under cond
+        cond = threading.Condition()
 
         def worker():
             while not stop.is_set():
@@ -93,7 +104,11 @@ class BatchLoader:
                     bi, idxs = work_q.get_nowait()
                 except queue.Empty:
                     return
-                inflight.acquire()
+                with cond:
+                    while bi >= cursor[0] + window and not stop.is_set():
+                        cond.wait(0.5)  # timeout guards a missed final notify
+                if stop.is_set():
+                    return
                 try:
                     done_q.put((bi, self._load_batch(idxs), None))
                 except Exception as exc:  # surface decode errors to the consumer
@@ -111,13 +126,6 @@ class BatchLoader:
                     batch = pending.pop(next_bi)
                 else:
                     bi, batch, exc = done_q.get()
-                    # Release the in-flight slot as soon as the item leaves
-                    # the queue — parking an out-of-order batch in `pending`
-                    # without releasing would let all slots fill with bi >
-                    # next_bi and deadlock both sides (workers on acquire,
-                    # consumer on get). The reorder window is bounded by
-                    # num_threads since workers take work in order.
-                    inflight.release()
                     if exc is not None:
                         raise exc
                     if bi != next_bi:
@@ -125,9 +133,11 @@ class BatchLoader:
                         continue
                 yield batch
                 next_bi += 1
+                with cond:
+                    cursor[0] = next_bi
+                    cond.notify_all()
         finally:
             stop.set()
-            # Unblock any worker parked on the semaphore so threads exit.
-            for _ in threads:
-                inflight.release()
+            with cond:
+                cond.notify_all()  # unblock workers parked on the window
         self._epoch += 1

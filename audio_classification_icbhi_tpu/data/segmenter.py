@@ -40,14 +40,15 @@ class ICBHISegmenter:
     @staticmethod
     def get_label(crackle: int, wheeze: int) -> str:
         """(crackle, wheeze) flags -> segment dir name
-        (reference preprocess_icbhi.py:93-111)."""
-        if crackle == 1 and wheeze == 1:
-            return "both"
-        if crackle == 1:
-            return "crackle"
-        if wheeze == 1:
-            return "wheeze"
-        return "normal"
+        (reference preprocess_icbhi.py:93-111) — delegates to the one
+        flag->class mapping in annotations.py so the segmenter's directory
+        names cannot drift from the mapping the datasets load by."""
+        from audio_classification_icbhi_tpu.data.annotations import (
+            SEGMENT_DIR_NAMES,
+            label_from_flags,
+        )
+
+        return SEGMENT_DIR_NAMES[label_from_flags(crackle, wheeze)]
 
     def segment_audio(self, audio_path: str | Path, txt_path: str | Path) -> int:
         audio_path = Path(audio_path)

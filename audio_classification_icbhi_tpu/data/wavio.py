@@ -42,6 +42,13 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         cid = raw[pos : pos + 4]
         (size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a partially-written/corrupt file would otherwise yield
+            # silently shortened audio that pads to near-silence downstream
+            raise ValueError(
+                f"truncated {cid!r} chunk (declares {size} bytes, "
+                f"{len(body)} available): {path}"
+            )
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError(f"truncated fmt chunk ({len(body)} bytes): {path}")
@@ -55,6 +62,8 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError(f"missing fmt/data chunk: {path}")
     audio_format, channels, sr, _, _, bits = fmt
+    if channels < 1:
+        raise ValueError(f"malformed fmt chunk (channels={channels}): {path}")
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format code is the first 2 bytes
         # of the SubFormat GUID at offset 24 of the fmt chunk body.
@@ -90,6 +99,20 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
 
     n = (len(x) // channels) * channels
     return x[:n].reshape(-1, channels).T.copy(), int(sr)
+
+
+def pad_or_crop(x: np.ndarray, target_length: int) -> np.ndarray:
+    """End-pad with zeros or center-crop to target_length (reference
+    preprocessing.py:70-83). The ONE implementation of this contract —
+    datasets and the inference engine all call it, so train-time and
+    inference-time clip prep cannot drift apart."""
+    n = x.shape[-1]
+    if n < target_length:
+        return np.pad(x, (0, target_length - n))
+    if n > target_length:
+        start = (n - target_length) // 2
+        return x[start : start + target_length]
+    return x
 
 
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, *, dtype: str = "int16"):

@@ -92,13 +92,7 @@ class ClassifierEngine:
 
     def _load_clip(self, audio_path: str | Path) -> np.ndarray:
         wav, _ = wavio.load_audio(audio_path, target_sr=self.frontend.sample_rate)
-        n, target = wav.shape[-1], self.frontend.target_length
-        if n < target:
-            wav = np.pad(wav, (0, target - n))
-        elif n > target:
-            start = (n - target) // 2
-            wav = wav[start : start + target]
-        return wav.astype(np.float32)
+        return wavio.pad_or_crop(wav, self.frontend.target_length).astype(np.float32)
 
     def classify_file(self, audio_path: str | Path) -> dict:
         """Single-file result dict, same schema as reference cli.py:44-66."""

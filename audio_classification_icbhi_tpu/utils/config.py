@@ -9,7 +9,7 @@ not a single cuda/cpu pick.
 
 from __future__ import annotations
 
-import os
+import copy
 import random
 from typing import Any
 
@@ -63,12 +63,19 @@ def _deep_update(base: dict, overrides: dict) -> dict:
 
 def load_config(config_path: str | None = None) -> dict[str, Any]:
     """Load a YAML config (reference src/utils/config.py:9-21), merged over
-    defaults so partial configs are valid."""
+    defaults so partial configs are valid.
+
+    The result is a DEEP copy: callers mutate configs in place (train.py
+    applies argparse overrides like config['model']['architecture'] = ...),
+    and a shallow merge would alias un-overridden sections to the
+    module-global DEFAULT_CONFIG — corrupting the defaults every later
+    load_config() in the process returns.
+    """
     if config_path is None:
-        return {k: (dict(v) if isinstance(v, dict) else v) for k, v in DEFAULT_CONFIG.items()}
+        return copy.deepcopy(DEFAULT_CONFIG)
     with open(config_path, "r") as f:
         user = yaml.safe_load(f) or {}
-    return _deep_update(DEFAULT_CONFIG, user)
+    return _deep_update(copy.deepcopy(DEFAULT_CONFIG), user)
 
 
 def ensure_compile_cache(path: str = "/tmp/jax_persistent_cache") -> None:
@@ -102,11 +109,3 @@ def set_seed(seed: int = 42) -> jax.Array:
 def describe_devices() -> str:
     devs = jax.devices()
     return f"{len(devs)}x {devs[0].platform}:{getattr(devs[0], 'device_kind', '?')}"
-
-
-def force_host_cpu_devices(n: int = 8) -> None:
-    """Test helper: emulate an n-device mesh on CPU. Must run before jax init."""
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
-    )
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -51,6 +51,10 @@ def _masked_crc(data: bytes) -> int:
 # --- protobuf wire helpers ----------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf int64: negatives are 10-byte two's complement (a bare
+        # arithmetic right-shift loop never terminates on n < 0)
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -60,6 +64,21 @@ def _varint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def _read_varint(buf: bytes, p: int) -> tuple[int, int]:
+    """Decode a varint at buf[p:]; returns (value, next_pos). The writer
+    emits multi-byte varints for any length/step >= 128, so the reader must
+    decode them the same way (single-byte reads mis-parse tags >= ~121
+    chars and large steps)."""
+    val = 0
+    shift = 0
+    while buf[p] & 0x80:
+        val |= (buf[p] & 0x7F) << shift
+        shift += 7
+        p += 1
+    val |= buf[p] << shift
+    return val, p + 1
 
 
 def _field_double(num: int, value: float) -> bytes:
@@ -141,25 +160,11 @@ def read_scalars(event_file: str | Path) -> dict[str, list[tuple[int, float]]]:
             if key == 0x09:  # wall_time double
                 p += 9
             elif key == 0x10:  # step varint
-                p += 1
-                step = 0
-                shift = 0
-                while payload[p] & 0x80:
-                    step |= (payload[p] & 0x7F) << shift
-                    shift += 7
-                    p += 1
-                step |= payload[p] << shift
-                p += 1
+                step, p = _read_varint(payload, p + 1)
+                if step >= 1 << 63:  # protobuf int64 two's complement
+                    step -= 1 << 64
             elif key in (0x1A, 0x2A):  # file_version / summary
-                p += 1
-                ln = 0
-                shift = 0
-                while payload[p] & 0x80:
-                    ln |= (payload[p] & 0x7F) << shift
-                    shift += 7
-                    p += 1
-                ln |= payload[p] << shift
-                p += 1
+                ln, p = _read_varint(payload, p + 1)
                 if key == 0x2A:
                     summary = payload[p : p + ln]
                 p += ln
@@ -170,18 +175,16 @@ def read_scalars(event_file: str | Path) -> dict[str, list[tuple[int, float]]]:
             while q < len(summary):
                 if summary[q] != 0x0A:
                     break
-                q += 1
-                vlen = summary[q]
-                q += 1
+                vlen, q = _read_varint(summary, q + 1)
                 vmsg = summary[q : q + vlen]
                 q += vlen
                 tag, val = None, None
                 r = 0
                 while r < len(vmsg):
                     if vmsg[r] == 0x0A:
-                        tlen = vmsg[r + 1]
-                        tag = vmsg[r + 2 : r + 2 + tlen].decode()
-                        r += 2 + tlen
+                        tlen, r = _read_varint(vmsg, r + 1)
+                        tag = vmsg[r : r + tlen].decode()
+                        r += tlen
                     elif vmsg[r] == 0x15:
                         (val,) = struct.unpack_from("<f", vmsg, r + 1)
                         r += 5

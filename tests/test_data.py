@@ -121,6 +121,42 @@ class TestWavIO:
             mono, nsr = native.decode_mono(p)
             np.testing.assert_array_equal(mono, y[0].astype(np.float32))
 
+    def test_truncated_data_chunk_rejected(self, tmp_path, rng):
+        """A data chunk whose declared size runs past EOF (partial
+        download / corrupt file) must raise, not silently return a
+        shortened clip the dataset would pad to near-silence."""
+        p = tmp_path / "good.wav"
+        write_wav(p, (0.3 * rng.standard_normal(4000)).astype(np.float32), 16000)
+        raw = p.read_bytes()
+        bad = tmp_path / "trunc.wav"
+        bad.write_bytes(raw[: len(raw) - 1000])  # cut mid-data-chunk
+        with pytest.raises(ValueError, match="truncated"):
+            read_wav(bad)
+
+    def test_zero_channels_rejected(self, tmp_path):
+        import struct
+
+        hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 0, 16)
+        hdr += b"data" + struct.pack("<I", 0)
+        p = tmp_path / "zc.wav"
+        p.write_bytes(hdr)
+        with pytest.raises(ValueError, match="channels"):
+            read_wav(p)
+
+    def test_pad_or_crop_contract(self):
+        """End-pad / center-crop (reference preprocessing.py:70-83) — the
+        single shared implementation behind datasets and inference."""
+        from audio_classification_icbhi_tpu.data.wavio import pad_or_crop
+
+        short = np.arange(4, dtype=np.float32)
+        out = pad_or_crop(short, 6)
+        np.testing.assert_array_equal(out, [0, 1, 2, 3, 0, 0])
+        long = np.arange(10, dtype=np.float32)
+        np.testing.assert_array_equal(pad_or_crop(long, 4), [3, 4, 5, 6])
+        same = np.arange(5, dtype=np.float32)
+        assert pad_or_crop(same, 5) is same
+
     def test_float64_decode(self, tmp_path, rng):
         import struct
 
@@ -266,6 +302,12 @@ class TestDatasets:
         with pytest.raises(ValueError):
             ICBHISegmentedDataset(tmp_path / "nope2", "train", CFG)
 
+    def test_segmented_config_without_data_section(self, segmented_root):
+        """A config lacking a 'data' key must fall back to split defaults
+        (regression: __init__ tolerated it, _split_data KeyError'd)."""
+        ds = ICBHISegmentedDataset(segmented_root, "train", {"model": {}})
+        assert len(ds) == int(0.7 * 24)
+
 
 class TestBatchLoader:
     def test_shapes_order_and_drop_last(self, segmented_root):
@@ -338,6 +380,52 @@ class TestBatchLoader:
         loader = BatchLoader(ds, batch_size=4, drop_last=False)
         total = sum(len(lbl) for _, lbl in loader)
         assert total == len(ds)
+
+    def test_one_slow_batch_bounds_lookahead(self):
+        """Backpressure regression: with batch 0 slow and everything else
+        instant, workers must not decode unboundedly far ahead (the old
+        semaphore released slots when out-of-order batches were parked, so
+        one slow batch let a fast worker buffer O(all batches) in RAM).
+        The lookahead window bounds completions ahead of the consumer to
+        prefetch + num_threads."""
+        import threading
+        import time as _time
+
+        gate = threading.Event()
+        done: list[int] = []
+        lock = threading.Lock()
+
+        class SkewDataset:
+            def __len__(self):
+                return 64  # 64 batches of 1
+
+            def load_batch(self, idxs):
+                i = int(idxs[0])
+                if i == 0:
+                    gate.wait(10.0)  # batch 0 finishes LAST
+                with lock:
+                    done.append(i)
+                return (np.zeros((1, 8), np.float32), np.zeros((1,), np.int32))
+
+        loader = BatchLoader(SkewDataset(), batch_size=1,
+                             num_threads=4, prefetch=2)
+        it = iter(loader)
+
+        def first():
+            next(it)
+
+        t = threading.Thread(target=first)
+        t.start()
+        _time.sleep(1.0)  # give fast workers every chance to run ahead
+        with lock:
+            ahead = len(done)
+        gate.set()
+        t.join(10.0)
+        rest = list(it)
+        assert len(rest) == 63
+        # window = prefetch + num_threads = 6 (small slack for batches that
+        # passed the window check before batch 0 stalled the cursor)
+        assert ahead <= 6 + 4, f"{ahead} batches decoded ahead of a stuck batch 0"
 
 
 class TestNativeBatchPath:

@@ -302,7 +302,44 @@ class TestCheckpoint:
             w.save(tmp_path / "y.ckpt", {"epoch": 0})  # no worker would drain it
 
 
+class TestConfigIsolation:
+    def test_load_config_never_aliases_defaults(self, tmp_path):
+        """Callers mutate configs in place (train.py writes
+        config['model']['architecture']); un-overridden sections must be
+        deep copies, or the module-global DEFAULT_CONFIG is silently
+        corrupted for every later load_config() in the process."""
+        from audio_classification_icbhi_tpu.utils.config import load_config
+
+        p = tmp_path / "partial.yaml"
+        p.write_text("data:\n  sample_rate: 8000\n")  # no model/classes keys
+        cfg = load_config(str(p))
+        cfg["model"]["architecture"] = "mutated"
+        cfg["classes"].append("extra")
+        cfg["training"]["batch_size"] = -1
+        fresh = load_config(str(p))
+        assert fresh["model"]["architecture"] != "mutated"
+        assert "extra" not in fresh["classes"]
+        assert fresh["training"]["batch_size"] != -1
+        blank = load_config(None)
+        blank["classes"].append("extra2")
+        assert "extra2" not in load_config(None)["classes"]
+
+
 class TestTensorBoard:
+    def test_long_tags_and_negative_steps_roundtrip(self, tmp_path):
+        """Writer emits multi-byte varints for lengths >= 128 and 10-byte
+        two's-complement varints for negative steps; the reader must decode
+        both (regressions: single-byte length reads mis-parsed ~121+-char
+        tags; a negative step hung _varint forever)."""
+        long_tag = "Loss/" + "x" * 150
+        with SummaryWriter(tmp_path) as w:
+            w.add_scalar(long_tag, 0.25, 3)
+            w.add_scalar("Accuracy/val", 50.0, -1)
+        (f,) = tmp_path.glob("events.out.tfevents.*")
+        back = read_scalars(f)
+        assert back[long_tag] == [(3, 0.25)]
+        assert back["Accuracy/val"] == [(-1, 50.0)]
+
     def test_write_and_read_scalars(self, tmp_path):
         with SummaryWriter(tmp_path) as w:
             for step in range(3):
