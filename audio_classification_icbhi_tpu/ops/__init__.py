@@ -22,6 +22,7 @@ from audio_classification_icbhi_tpu.ops.augment import (  # noqa: F401
     augment_spectrogram,
     augment_waveform,
     freq_mask,
+    spec_mask_bounds,
     time_mask,
     time_shift,
 )

@@ -57,15 +57,21 @@ def augment_waveform(
 def _mask_along_axis(
     key: jax.Array, spec: jax.Array, mask_param: int, axis: int, mask_value: float = 0.0
 ) -> jax.Array:
-    """torchaudio mask_along_axis semantics: width ~ U(0, mask_param) (float),
-    start ~ U(0, size - width); cells with start <= idx < start+width zeroed.
+    """torchaudio mask_along_axis semantics: value ~ U(0, mask_param) and
+    min ~ U(0, size - value) are drawn as FLOATS, then BOTH bounds truncate
+    to integers (mask_start = int(min), mask_end = int(min + value)), so the
+    masked set is [floor(start), floor(start+width)) — on average ~0.5 cells
+    narrower than the raw float interval. Matching the truncation matters:
+    without it SpecAugment is systematically stronger than the reference's.
     """
     size = spec.shape[axis]
     k_w, k_s = jax.random.split(key)
     width = jax.random.uniform(k_w, (), minval=0.0, maxval=float(mask_param))
     start = jax.random.uniform(k_s, (), minval=0.0, maxval=float(size) - width)
+    mask_start = jnp.floor(start)
+    mask_end = jnp.floor(start + width)
     idx = jnp.arange(size, dtype=jnp.float32)
-    mask = (idx >= start) & (idx < start + width)
+    mask = (idx >= mask_start) & (idx < mask_end)
     shape = [1] * spec.ndim
     shape[axis] = size
     return jnp.where(mask.reshape(shape), jnp.asarray(mask_value, spec.dtype), spec)
@@ -115,7 +121,12 @@ def spec_mask_bounds(
         k_w, k_s = jax.random.split(k)
         width = jax.random.uniform(k_w, (), minval=0.0, maxval=float(param))
         start = jax.random.uniform(k_s, (), minval=0.0, maxval=float(size) - width)
-        return start, width
+        # same integer truncation as _mask_along_axis (torchaudio parity):
+        # the epilogue compares integer cell indices against these bounds,
+        # so returning (floor(start), floor(end) - floor(start)) makes it
+        # mask exactly [int(start), int(start+width))
+        s = jnp.floor(start)
+        return s, jnp.floor(start + width) - s
 
     k_f, k_t = jax.random.split(key)
     f_start, f_width = one(k_f, n_mels, freq_mask_param)

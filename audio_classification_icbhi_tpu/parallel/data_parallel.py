@@ -100,6 +100,25 @@ def features_from_wavs(
     return mel[..., None]
 
 
+def pad_eval_batch(wavs, labels, batch_size: int):
+    """Pad a partial batch to batch_size with a validity mask — the ONE
+    implementation of eval_step's padding contract (Trainer validation,
+    both fused and per-batch, and the standalone Validator all call it, so
+    the paths cannot diverge). Returns (wavs, labels, mask, real_count);
+    handles numpy and device-resident (jax) waveforms."""
+    import numpy as np
+
+    b = wavs.shape[0]
+    mask = np.ones((batch_size,), np.float32)
+    if b < batch_size:
+        pad = batch_size - b
+        xp = np if isinstance(wavs, np.ndarray) else jnp
+        wavs = xp.concatenate([wavs, xp.zeros((pad,) + wavs.shape[1:], wavs.dtype)])
+        labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+        mask[b:] = 0.0
+    return wavs, labels, mask, b
+
+
 class TrainStepFns(NamedTuple):
     train_step: Callable
     eval_step: Callable

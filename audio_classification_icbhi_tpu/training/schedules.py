@@ -62,7 +62,10 @@ class StepLR:
 
 class ReduceLROnPlateau:
     """torch ReduceLROnPlateau(mode, factor=0.5, patience=10)
-    (reference trainer_fixed.py:83-86; mode='max' in trainer_icbhi.py:86-87)."""
+    (reference trainer_fixed.py:83-86; mode='max' in trainer_icbhi.py:86-87),
+    including torch's default threshold=1e-4 in 'rel' mode: a sub-0.01%%
+    relative improvement still counts as a bad epoch, so near-flat metrics
+    trigger the LR cut after `patience` epochs like the reference."""
 
     def __init__(
         self,
@@ -71,12 +74,14 @@ class ReduceLROnPlateau:
         factor: float = 0.5,
         patience: int = 10,
         min_lr: float = 0.0,
+        threshold: float = 1e-4,
     ):
         self._lr = base_lr
         self.mode = mode
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
         self.best: float | None = None
         self.bad_epochs = 0
 
@@ -87,7 +92,9 @@ class ReduceLROnPlateau:
     def _is_better(self, metric: float) -> bool:
         if self.best is None:
             return True
-        return metric < self.best if self.mode == "min" else metric > self.best
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric: float | None = None) -> None:
         if metric is None:

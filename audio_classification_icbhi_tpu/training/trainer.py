@@ -329,26 +329,18 @@ class Trainer:
             step_metrics.append(metrics)
         if not step_metrics:
             return 0.0, 0.0
-        losses = np.asarray(jnp.stack([m["loss"] for m in step_metrics]))
-        correct = float(np.asarray(jnp.stack([m["correct"] for m in step_metrics])).sum())
-        total = float(np.asarray(jnp.stack([m["count"] for m in step_metrics])).sum())
-        return float(losses.mean()), 100.0 * correct / max(total, 1.0)
+        packed = self._pack_epoch_metrics(  # ONE fetch, not three RPCs
+            tuple(m["loss"] for m in step_metrics),
+            tuple(m["correct"] for m in step_metrics),
+            tuple(m["count"] for m in step_metrics),
+        )
+        vals = np.asarray(packed)
+        return float(vals[0]), 100.0 * float(vals[1]) / max(float(vals[2]), 1.0)
 
     def _pad_eval_batch(self, wavs, labels):
-        """Pad a partial batch to batch_size with a validity mask — the ONE
-        place the eval padding discipline lives (shared by _eval_batches and
-        _validate_fused's tail, so the two validation paths cannot diverge)."""
-        b = wavs.shape[0]
-        mask = np.ones((self.batch_size,), np.float32)
-        if b < self.batch_size:
-            pad = self.batch_size - b
-            xp = np if isinstance(wavs, np.ndarray) else jnp
-            wavs = xp.concatenate(
-                [wavs, xp.zeros((pad,) + wavs.shape[1:], wavs.dtype)]
-            )
-            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
-            mask[b:] = 0.0
-        return wavs, labels, mask, b
+        from audio_classification_icbhi_tpu.parallel.data_parallel import pad_eval_batch
+
+        return pad_eval_batch(wavs, labels, self.batch_size)
 
     def _eval_batches(self, loader):
         """Pad partial batches to batch_size with a validity mask so one
@@ -435,7 +427,7 @@ class Trainer:
         if self._use_fused_eval():
             return self._validate_fused()
         sums, total = [], 0.0
-        kept_logits, kept_labels = [], []
+        kept_preds, kept_labels, kept_b = [], [], []
         for wavs, labels, mask, b in self._eval_batches(self.val_loader):
             logits, num, den, corr = self.steps.eval_step(
                 self.params, self.batch_stats, wavs, labels, mask, self.class_weights
@@ -444,13 +436,19 @@ class Trainer:
             sums.append((num, den, corr))
             total += b
             if self.collect_predictions:
-                kept_logits.append((logits, b))  # stays on device until the end
+                # argmax on device, fetch ONCE after the loop — a per-batch
+                # np.asarray(logits) costs a 30-50 ms RPC on the tunnel
+                kept_preds.append(jnp.argmax(logits, axis=-1))
                 kept_labels.append(labels[:b])
+                kept_b.append(b)
         if self.collect_predictions:
-            y_pred = [np.argmax(np.asarray(lg), axis=-1)[:b] for lg, b in kept_logits]
+            preds = np.asarray(jnp.stack(kept_preds)) if kept_preds else np.zeros((0, 0))
+            y_pred = [preds[i, :b] for i, b in enumerate(kept_b)]
             self.val_predictions = (
-                np.concatenate(kept_labels) if kept_labels else np.zeros(0, np.int64),
-                np.concatenate(y_pred) if y_pred else np.zeros(0, np.int64),
+                np.concatenate(kept_labels).astype(np.int64)
+                if kept_labels else np.zeros(0, np.int64),
+                np.concatenate(y_pred).astype(np.int64)
+                if y_pred else np.zeros(0, np.int64),
             )
         if not sums:
             return 0.0, 0.0
@@ -589,7 +587,15 @@ class Trainer:
             "scheduler": self.scheduler.state_dict(),
             "best_metric": float(self._best_metric()),
             "patience_counter": int(self.patience_counter),
-        }
+        } | (
+            # fp16 GradScaler state must resume exactly, or the first
+            # post-resume steps overflow at the reset 65536 scale and get
+            # skipped while it halves back down
+            {"scale_state": np.asarray(
+                [float(np.asarray(self.scale_state[0])),
+                 float(np.asarray(self.scale_state[1]))], np.float64)}
+            if self.dynamic_loss_scale else {}
+        )
 
     def _best_metric(self) -> float:
         return self.best_val_loss
@@ -638,6 +644,10 @@ class Trainer:
         self.batch_stats = serialization.from_state_dict(self.batch_stats, ckpt["batch_stats"])
         self.opt_state = serialization.from_state_dict(self.opt_state, ckpt["opt_state"])
         self.start_epoch = int(ckpt["epoch"]) + 1
+
+        if self.dynamic_loss_scale and "scale_state" in ckpt:
+            s = np.asarray(ckpt["scale_state"])
+            self.scale_state = (np.float32(s[0]), np.int32(s[1]))
 
         if "best_metric" in ckpt:
             self._restore_best_metric(float(ckpt["best_metric"]), ckpt)

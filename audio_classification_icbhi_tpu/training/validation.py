@@ -44,16 +44,12 @@ class Validator:
     def validate(self, params, batch_stats) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (y_true, y_pred, y_prob) over the whole dataset
         (reference validation.py:29-61)."""
+        from audio_classification_icbhi_tpu.parallel.data_parallel import pad_eval_batch
+
         ones = np.ones((self.num_classes,), np.float32)
         y_true, y_pred, y_prob = [], [], []
         for wavs, labels in self.loader:
-            b = wavs.shape[0]
-            mask = np.ones((self.batch_size,), np.float32)
-            if b < self.batch_size:
-                pad = self.batch_size - b
-                wavs = np.concatenate([wavs, np.zeros((pad,) + wavs.shape[1:], wavs.dtype)])
-                labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
-                mask[b:] = 0.0
+            wavs, labels, mask, b = pad_eval_batch(wavs, labels, self.batch_size)
             logits, _, _, _ = self.steps.eval_step(
                 params, batch_stats, wavs, labels, mask, ones
             )

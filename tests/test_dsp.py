@@ -342,6 +342,38 @@ class TestAugment:
         if len(zero_rows) > 1:
             assert np.all(np.diff(zero_rows) == 1)  # contiguous band
 
+    def test_mask_bounds_truncate_like_torchaudio(self):
+        """torchaudio draws float (value, min) but truncates BOTH bounds to
+        ints (mask_start = int(min), mask_end = int(min + value)); the
+        masked set must be exactly [floor(start), floor(start+width)) —
+        float-interval masking is on average ~0.5 cells wider than the
+        reference. Re-derives the draws with the same key discipline and
+        checks the masked rows cell for cell, over many keys."""
+        size, param = 128, 15
+        spec = jnp.ones((size, 100))
+        for seed in range(40):
+            key = jax.random.PRNGKey(seed)
+            k_w, k_s = jax.random.split(key)
+            width = float(jax.random.uniform(k_w, (), minval=0.0, maxval=float(param)))
+            start = float(jax.random.uniform(k_s, (), minval=0.0,
+                                             maxval=float(size) - width))
+            expect = np.zeros(size, bool)
+            expect[int(np.floor(start)):int(np.floor(start + width))] = True
+            fm = np.asarray(ops.freq_mask(key, spec, param))
+            np.testing.assert_array_equal(fm.sum(axis=1) == 0, expect, err_msg=f"seed {seed}")
+            # the fused-epilogue bounds describe the SAME integer cells as
+            # augment_spectrogram's freq mask (whose key is split(key)[0])
+            k_f = jax.random.split(key)[0]
+            fm2 = np.asarray(ops.freq_mask(k_f, spec, param))
+            f_start, f_width, _, _ = np.asarray(
+                ops.spec_mask_bounds(key, size, 100, freq_mask_param=param)
+            )
+            idx = np.arange(size)
+            np.testing.assert_array_equal(
+                (idx >= f_start) & (idx < f_start + f_width),
+                fm2.sum(axis=1) == 0,
+            )
+
     def test_augment_waveform_deterministic_per_key(self):
         x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8000)), dtype=jnp.float32)
         k = jax.random.PRNGKey(7)

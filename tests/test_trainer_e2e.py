@@ -314,6 +314,27 @@ class TestTrainerEndToEnd:
         np.testing.assert_array_equal(true_f, true_p)
         np.testing.assert_array_equal(pred_f, pred_p)
 
+    def test_fp16_legacy_trainer_and_scale_state_resume(self, seg_data, tmp_path):
+        """Two regressions: (1) LegacyTrainer's step rebuild dropped
+        dynamic_loss_scale, so fp16 runs crashed with an arity mismatch at
+        the first step; (2) GradScaler state was not checkpointed, so fp16
+        resume restarted at scale 65536 and skipped steps while halving
+        back down — violating restore()'s exact-resume contract."""
+        config = tiny_config(tmp_path, epochs=1)
+        config["training"]["precision"] = "fp16"
+        train, val = make_datasets(seg_data, config)
+        t = LegacyTrainer(build_model(config, axis_name="data"), train, val, config)
+        assert t.dynamic_loss_scale
+        loss, acc = t.train_epoch(0)  # (1): must not crash
+        assert np.isfinite(loss)
+        t.scale_state = (np.float32(512.0), np.int32(7))  # a settled scale
+        t.save_checkpoint(tmp_path / "fp16.ckpt", 0, 1.0)
+        t.wait_for_checkpoints()
+        t2 = LegacyTrainer(build_model(config, axis_name="data"), train, val, config)
+        t2.restore(tmp_path / "fp16.ckpt")
+        assert float(t2.scale_state[0]) == 512.0
+        assert int(t2.scale_state[1]) == 7
+
     def test_async_checkpoint_durable_across_midtrain_crash(self, seg_data, tmp_path):
         """A printed 'Best model saved' must mean a durable file even when a
         later epoch raises: train() drains the async writer in a finally,

@@ -100,6 +100,24 @@ class TestSchedules:
             s.step(m)
         assert s.lr == 0.5
 
+    def test_plateau_rel_threshold_matches_torch_default(self):
+        """torch's default threshold=1e-4 (rel): a sub-0.01% relative
+        improvement is still a bad epoch, so near-flat metrics cut the LR
+        after `patience` epochs (regression: any strict improvement used to
+        reset bad_epochs forever)."""
+        s = ReduceLROnPlateau(1.0, mode="min", factor=0.5, patience=2)
+        s.step(0.5)
+        for _ in range(3):
+            s.step(0.4999999)  # improves, but by < 1e-4 relative
+        assert s.lr == 0.5
+        # a genuine improvement resets the counter
+        s2 = ReduceLROnPlateau(1.0, mode="min", factor=0.5, patience=2)
+        s2.step(0.5)
+        s2.step(0.49)
+        for m in [0.49, 0.49]:
+            s2.step(m)
+        assert s2.lr == 1.0
+
     def test_linear_warmup_wraps_cosine(self):
         from audio_classification_icbhi_tpu.training.schedules import build_scheduler
 
