@@ -70,14 +70,19 @@ def three_panel(
     duration = _plot_waveform(axes[0], audio, sample_rate)
 
     ax2 = axes[1]
-    for i, r in enumerate(results):
+    seen = set()  # label the first DRAWN artist of each kind, not index 0
+    for r in results:
         mid = (r.start_time + r.end_time) / 2
         if r.has_crackle:
             ax2.vlines(mid, 0, min(r.crackle_confidence, 1.0), colors="purple",
-                       linewidth=4, alpha=0.7, label="Crackle" if i == 0 else "")
+                       linewidth=4, alpha=0.7,
+                       label="" if "c" in seen else "Crackle")
+            seen.add("c")
         if r.has_wheeze:
             ax2.vlines(mid, 0, min(r.wheeze_confidence, 1.0), colors="green",
-                       linewidth=4, alpha=0.7, label="Wheeze" if i == 0 else "")
+                       linewidth=4, alpha=0.7,
+                       label="" if "w" in seen else "Wheeze")
+            seen.add("w")
     if crackle_threshold is not None:
         ax2.axhline(y=crackle_threshold, color="purple", linestyle="--", linewidth=2,
                     alpha=0.5, label=f"Crackle Threshold ({crackle_threshold:.2f})")
@@ -90,7 +95,8 @@ def three_panel(
     ax2.set_ylim([0, 1.0])
     ax2.set_xlim([0, duration])
     ax2.grid(True, alpha=0.3)
-    ax2.legend(loc="upper right", fontsize=9)
+    if ax2.get_legend_handles_labels()[1]:  # no detections -> no legend spam
+        ax2.legend(loc="upper right", fontsize=9)
 
     ax3 = axes[2]
     times = [(r.start_time + r.end_time) / 2 for r in results]

@@ -30,14 +30,18 @@ from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint
 class ClassifierEngine:
     """wav -> 4-class probabilities from a self-describing checkpoint."""
 
-    def __init__(self, checkpoint_path: str | Path, batch_size: int = 32):
+    def __init__(self, checkpoint_path: str | Path, batch_size: int = 32,
+                 config: dict | None = None):
+        """config: fallback when the checkpoint has no embedded config —
+        lets entry points honor the reference's config-file fallback
+        (validate.py:46-54); the embedded config still wins when present."""
         from audio_classification_icbhi_tpu.utils.config import ensure_compile_cache
 
         ensure_compile_cache()
         ckpt = load_checkpoint(checkpoint_path)
-        if "config" not in ckpt:
+        if "config" not in ckpt and config is None:
             raise ValueError(f"checkpoint {checkpoint_path} has no embedded config")
-        self.config: dict[str, Any] = ckpt["config"]
+        self.config: dict[str, Any] = ckpt.get("config") or config
         self.class_names: list[str] = list(self.config["classes"])
         self.batch_size = batch_size
         self.frontend = MelFrontend.from_config(self.config)

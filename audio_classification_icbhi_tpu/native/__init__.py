@@ -28,11 +28,14 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not _LIB_PATH.exists():
-                subprocess.run(
-                    ["make", "-C", str(_DIR)], check=True,
-                    capture_output=True, timeout=120,
-                )
+            # Always run make: the Makefile's libfastwav.so -> fastwav.cc
+            # dependency makes it a cheap no-op when up to date, and it
+            # rebuilds after source edits (an exists() check silently kept
+            # loading a stale .so forever).
+            subprocess.run(
+                ["make", "-C", str(_DIR)], check=True,
+                capture_output=True, timeout=120,
+            )
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.fastwav_decode_mono.restype = ctypes.c_int
             lib.fastwav_decode_mono.argtypes = [

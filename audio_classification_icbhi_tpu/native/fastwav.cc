@@ -41,6 +41,7 @@ enum {
   ERR_NO_CHUNKS = 3,
   ERR_FORMAT = 4,
   ERR_CAPACITY = 5,
+  ERR_ALLOC = 6,  // std::bad_alloc etc. caught at the ABI boundary
 };
 
 uint32_t rd_u32(const uint8_t* p) {
@@ -64,62 +65,92 @@ double rd_f64(const uint8_t* p) {
   return v;
 }
 
-int decode(const char* path, Wav& wav) {
+struct Header {
+  const uint8_t* data = nullptr;  // points into the raw buffer
+  size_t data_len = 0;
+  uint16_t audio_format = 0;
+  uint16_t channels = 0;
+  uint16_t bits = 0;
+  uint32_t sr = 0;
+  size_t n_frames = 0;
+};
+
+int read_file(const char* path, std::vector<uint8_t>& raw) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return ERR_OPEN;
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
+  if (size < 0) {  // non-seekable (FIFO) or error: (size_t)-1 would throw
+    std::fclose(f);
+    return ERR_OPEN;
+  }
   std::fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> raw((size_t)size);
+  raw.resize((size_t)size);
   if (std::fread(raw.data(), 1, (size_t)size, f) != (size_t)size) {
     std::fclose(f);
     return ERR_OPEN;
   }
   std::fclose(f);
+  return OK;
+}
 
+int parse_header(const std::vector<uint8_t>& raw, Header& h) {
+  size_t size = raw.size();
   if (size < 12 || std::memcmp(raw.data(), "RIFF", 4) != 0 ||
       std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
     return ERR_NOT_WAV;
 
   const uint8_t* fmt = nullptr;
   size_t fmt_len = 0;
-  const uint8_t* data = nullptr;
-  size_t data_len = 0;
   size_t pos = 12;
-  while (pos + 8 <= (size_t)size) {
+  while (pos + 8 <= size) {
     const uint8_t* cid = raw.data() + pos;
     uint32_t csize = rd_u32(raw.data() + pos + 4);
     const uint8_t* body = raw.data() + pos + 8;
-    if (pos + 8 + csize > (size_t)size) csize = (uint32_t)(size - pos - 8);
+    if (pos + 8 + csize > size) csize = (uint32_t)(size - pos - 8);
     if (!std::memcmp(cid, "fmt ", 4)) {
       fmt = body;
       fmt_len = csize;
     } else if (!std::memcmp(cid, "data", 4)) {
-      data = body;
-      data_len = csize;
+      h.data = body;
+      h.data_len = csize;
     }
     pos += 8 + csize + (csize & 1);  // word alignment
   }
-  if (!fmt || !data) return ERR_NO_CHUNKS;
+  if (!fmt || !h.data) return ERR_NO_CHUNKS;
   // Validate the fmt chunk size BEFORE reading fields: a truncated or
   // malformed chunk would otherwise heap-over-read at fmt+14 / fmt+24.
   if (fmt_len < 16) return ERR_FORMAT;
 
-  uint16_t audio_format = rd_u16(fmt);
-  uint16_t channels = rd_u16(fmt + 2);
-  uint32_t sr = rd_u32(fmt + 4);
-  uint16_t bits = rd_u16(fmt + 14);
-  if (audio_format == 0xFFFE) {  // EXTENSIBLE: sub-format code at +24
+  h.audio_format = rd_u16(fmt);
+  h.channels = rd_u16(fmt + 2);
+  h.sr = rd_u32(fmt + 4);
+  h.bits = rd_u16(fmt + 14);
+  if (h.audio_format == 0xFFFE) {  // EXTENSIBLE: sub-format code at +24
     if (fmt_len < 26) return ERR_FORMAT;
-    audio_format = rd_u16(fmt + 24);
+    h.audio_format = rd_u16(fmt + 24);
   }
-  if (channels == 0) return ERR_FORMAT;
-
-  size_t bytes_per = bits / 8;
+  if (h.channels == 0) return ERR_FORMAT;
+  size_t bytes_per = h.bits / 8;
   if (bytes_per == 0) return ERR_FORMAT;
-  size_t n_interleaved = data_len / bytes_per;
-  size_t n_frames = n_interleaved / channels;
-  wav.sample_rate = (int)sr;
+  h.n_frames = h.data_len / bytes_per / h.channels;
+  return OK;
+}
+
+int decode(const char* path, Wav& wav) {
+  std::vector<uint8_t> raw;
+  int rc = read_file(path, raw);
+  if (rc != OK) return rc;
+  Header h;
+  rc = parse_header(raw, h);
+  if (rc != OK) return rc;
+
+  uint16_t audio_format = h.audio_format;
+  int channels = h.channels;
+  uint16_t bits = h.bits;
+  const uint8_t* data = h.data;
+  size_t n_frames = h.n_frames;
+  wav.sample_rate = (int)h.sr;
   wav.channels = channels;
   wav.mono.assign(n_frames, 0.0f);
   const float inv_ch = 1.0f / (float)channels;
@@ -187,18 +218,39 @@ int decode(const char* path, Wav& wav) {
   return OK;
 }
 
+// Exceptions must never cross the extern "C" / worker-thread boundary: a
+// bad_alloc on a corrupt multi-GB size field would std::terminate the whole
+// Python process instead of reporting a per-file failure.
+int decode_noexcept(const char* path, Wav& wav) noexcept {
+  try {
+    return decode(path, wav);
+  } catch (...) {
+    return ERR_ALLOC;
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
+// Header-only metadata (one file read, NO sample conversion — decode_mono's
+// Python caller probes this to size its buffer, so a full decode here would
+// double every load's conversion cost).
 int fastwav_info(const char* path, int* sample_rate, int* channels, long* n_frames) {
-  Wav wav;
-  int rc = decode(path, wav);
-  if (rc != OK) return rc;
-  *sample_rate = wav.sample_rate;
-  *channels = wav.channels;
-  *n_frames = (long)wav.mono.size();
-  return OK;
+  try {
+    std::vector<uint8_t> raw;
+    int rc = read_file(path, raw);
+    if (rc != OK) return rc;
+    Header h;
+    rc = parse_header(raw, h);
+    if (rc != OK) return rc;
+    *sample_rate = (int)h.sr;
+    *channels = h.channels;
+    *n_frames = (long)h.n_frames;
+    return OK;
+  } catch (...) {
+    return ERR_ALLOC;
+  }
 }
 
 // Decode to mono float32. Writes min(n, capacity) samples; *n_samples gets
@@ -206,7 +258,7 @@ int fastwav_info(const char* path, int* sample_rate, int* channels, long* n_fram
 int fastwav_decode_mono(const char* path, float* out, long capacity,
                         long* n_samples, int* sample_rate) {
   Wav wav;
-  int rc = decode(path, wav);
+  int rc = decode_noexcept(path, wav);
   if (rc != OK) return rc;
   *n_samples = (long)wav.mono.size();
   *sample_rate = wav.sample_rate;
@@ -233,7 +285,7 @@ int fastwav_decode_batch(const char** paths, int n_files, long target_len,
       if (i >= n_files) return;
       float* row = out + (size_t)i * (size_t)target_len;
       Wav wav;
-      int rc = decode(paths[i], wav);
+      int rc = decode_noexcept(paths[i], wav);
       if (rc != OK) {
         std::memset(row, 0, (size_t)target_len * sizeof(float));
         srs[i] = -rc;

@@ -20,7 +20,14 @@ import numpy as np
 import seaborn as sns
 from sklearn.metrics import auc, confusion_matrix, roc_curve
 
-DEFAULT_CLASSES = ["normal", "crackles", "wheezes", "both"]
+DEFAULT_CLASSES = ["normal", "crackles", "wheezes", "both"]  # config.yaml names
+# the ICBHI plot functions default to the SEGMENT DIRECTORY names — the
+# same quirk ledger split as the datasets (SURVEY.md: config says
+# crackles/wheezes, segmented dirs say crackle/wheeze); shared with
+# icbhi_metrics.DEFAULT_CLASSES so the two cannot drift
+from audio_classification_icbhi_tpu.utils.icbhi_metrics import (
+    DEFAULT_CLASSES as ICBHI_CLASSES,
+)
 
 
 def _save(fig, save_path):
@@ -93,7 +100,7 @@ def plot_training_history(history: dict, save_path=None):
 def plot_icbhi_metrics(metrics: dict, class_names=None, save_path=None):
     """Per-class sensitivity/specificity/harmonic bars + overall score
     (reference icbhi_metrics.py:168-242)."""
-    class_names = class_names or ["normal", "crackle", "wheeze", "both"]
+    class_names = class_names or ICBHI_CLASSES
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
     x = np.arange(len(class_names))
     width = 0.27
@@ -123,7 +130,7 @@ def plot_icbhi_metrics(metrics: dict, class_names=None, save_path=None):
 
 def plot_icbhi_confusion_matrix(y_true, y_pred, class_names=None, save_path=None):
     """Count + row-percentage annotated CM (reference icbhi_metrics.py:290-333)."""
-    class_names = class_names or ["normal", "crackle", "wheeze", "both"]
+    class_names = class_names or ICBHI_CLASSES
     cm = confusion_matrix(y_true, y_pred, labels=list(range(len(class_names))))
     row_sums = np.maximum(cm.sum(axis=1, keepdims=True), 1)
     annot = np.empty(cm.shape, dtype=object)

@@ -18,7 +18,10 @@ from audio_classification_icbhi_tpu.utils.plotting import plot_training_history
 
 def parse_args():
     parser = argparse.ArgumentParser(description="Train audio classification model")
-    parser.add_argument("--config", type=str, default="config.yaml", help="Path to configuration file")
+    # default=None so each entry point supplies its own default config file
+    # (an eager "config.yaml" default forced train_segmented/training_icbhi
+    # into a sentinel check that hijacked an EXPLICIT --config config.yaml)
+    parser.add_argument("--config", type=str, default=None, help="Path to configuration file")
     parser.add_argument("--model", type=str, choices=["cnn", "resnet"], help="Model architecture")
     parser.add_argument("--epochs", type=int, help="Number of epochs")
     parser.add_argument("--batch-size", type=int, help="Batch size")
@@ -60,13 +63,16 @@ def build_trainer(args, dataset_cls, trainer_cls, default_config: str):
         )
         print(f"Distributed: process {idx}")
     config = load_config(args.config if args.config else default_config)
+    # `is not None` (not truthiness): --epochs 0 / --learning-rate 0.0 are
+    # explicit values (e.g. a build-everything-train-nothing smoke run) and
+    # must not silently fall back to the config defaults
     if args.model:
         config["model"]["architecture"] = args.model
-    if args.epochs:
+    if args.epochs is not None:
         config["training"]["epochs"] = args.epochs
-    if args.batch_size:
+    if args.batch_size is not None:
         config["training"]["batch_size"] = args.batch_size
-    if args.learning_rate:
+    if args.learning_rate is not None:
         config["training"]["learning_rate"] = args.learning_rate
     if args.data_path:
         config["data"]["dataset_path"] = args.data_path

@@ -11,8 +11,6 @@ from train import build_trainer, parse_args
 
 def main():
     args = parse_args()
-    if args.config == "config.yaml":  # entry-point default differs
-        args.config = "config_segmented.yaml"
     trainer = build_trainer(args, ICBHISegmentedDataset, Trainer, "config_segmented.yaml")
     history = trainer.train(resume_from=args.resume)
     plot_training_history(history, save_path="training_history_segmented.png")

@@ -11,8 +11,6 @@ from train import build_trainer, parse_args
 
 def main():
     args = parse_args()
-    if args.config == "config.yaml":
-        args.config = "config_segmented.yaml"
     trainer = build_trainer(
         args, ICBHISegmentedDataset, TrainerWithICBHI, "config_segmented.yaml"
     )

@@ -12,7 +12,6 @@ from pathlib import Path
 from audio_classification_icbhi_tpu.data.dataset import ICBHIDataset
 from audio_classification_icbhi_tpu.models import build_model
 from audio_classification_icbhi_tpu.training.validation import Validator
-from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint
 from audio_classification_icbhi_tpu.utils.config import load_config, set_seed
 from audio_classification_icbhi_tpu.utils.metrics import calculate_metrics, print_metrics
 from audio_classification_icbhi_tpu.utils.plotting import (
@@ -36,15 +35,18 @@ def parse_args():
 
 def main():
     args = parse_args()
-    ckpt = load_checkpoint(args.model)
-    config = ckpt.get("config") or load_config(args.config)  # ckpt config wins (:46-54)
+    # ckpt config wins, file is the fallback (:46-54) — passed through the
+    # engine so checkpoints without an embedded config actually validate
+    # (previously the engine raised before the fallback could apply), and
+    # the checkpoint deserializes once instead of twice
+    engine = ClassifierEngine(args.model, config=load_config(args.config))
+    config = engine.config
     if args.data_path:
         config["data"]["dataset_path"] = args.data_path
     set_seed(config.get("seed", 42))
 
     dataset = ICBHIDataset(config["data"]["dataset_path"], args.split, config, augment=False)
 
-    engine = ClassifierEngine(args.model)
     model = engine.model
     validator = Validator(model, dataset, config)
     y_true, y_pred, y_prob = validator.validate(engine.params, engine.batch_stats)

@@ -11,7 +11,6 @@ from pathlib import Path
 
 from audio_classification_icbhi_tpu.data.dataset_segmented import ICBHISegmentedDataset
 from audio_classification_icbhi_tpu.training.validation import Validator
-from audio_classification_icbhi_tpu.utils.checkpoint import load_checkpoint
 from audio_classification_icbhi_tpu.utils.config import load_config, set_seed
 from audio_classification_icbhi_tpu.utils.icbhi_metrics import (
     calculate_detailed_confusion_metrics,
@@ -39,8 +38,10 @@ def parse_args():
 
 def main():
     args = parse_args()
-    ckpt = load_checkpoint(args.model)
-    config = ckpt.get("config") or load_config(args.config)
+    # same ckpt-config-first contract as validate.py, through the engine so
+    # config-less checkpoints work and the file deserializes once
+    engine = ClassifierEngine(args.model, config=load_config(args.config))
+    config = engine.config
     if args.data_path:
         config["data"]["dataset_path"] = args.data_path
     set_seed(config.get("seed", 42))
@@ -48,7 +49,6 @@ def main():
     dataset = ICBHISegmentedDataset(
         config["data"]["dataset_path"], args.split, config, augment=False
     )
-    engine = ClassifierEngine(args.model)
     validator = Validator(engine.model, dataset, config)
     y_true, y_pred, _ = validator.validate(engine.params, engine.batch_stats)
 
