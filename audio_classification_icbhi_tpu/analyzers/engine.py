@@ -60,7 +60,7 @@ class FlexibleMelFrontend:
     Delegates the mel chain to a MelFrontend with the resolved window
     config, so the analyzer hot path gets the SAME measured auto policy as
     training/inference (ops/mel.py:_auto_pallas): on TPU the default 1-s
-    windows (2048/512, no resize needed) run the radix4_fused Pallas
+    windows (2048/512, no resize needed) run the production radix8dif_fused Pallas
     kernel with the normalize epilogue fused; window configs that need a
     resize still run the kernel for the mel chain (epilogue outside, since
     resize sits between mel and normalize); CPU and kernel-ineligible
@@ -130,6 +130,10 @@ class AnalyzerEngine:
         if mode not in ("threshold", "legacy"):
             raise ValueError(f"unknown analyzer mode {mode!r} "
                              "(expected 'threshold' or 'legacy')")
+        if not 0.0 <= overlap < 1.0:
+            # overlap=1.0 clamps the hop to ONE SAMPLE: a 15 s recording
+            # becomes ~224k windows and the padded batch is ~14 GB
+            raise ValueError(f"overlap must be in [0, 1), got {overlap}")
         self.mesh = mesh
         self.classifier = ClassifierEngine(model_path)
         dcfg = self.classifier.config["data"]

@@ -583,9 +583,20 @@ def main():
                 if (r["layout"], r["arm"], r.get("seed")) not in new_keys]
         results = kept + results
 
-    pick = [r for r in results if r["arm"] == "full"]
-    full = (pick[-1] if pick else results[-1])  # prefer the recording layout
+    if not results:
+        print("No arms ran: every requested arm was filtered by the "
+              "layouts' arms allowlists (e.g. recording_dense_scarce only "
+              "runs none/no_weights). Nothing to report.")
+        return
+    # committed PNG contract (write_report): the RECORDING-layout full arm;
+    # fall back explicitly and say so if that combination didn't run
+    pick = ([r for r in results if r["arm"] == "full" and r["layout"] == "recording"]
+            or [r for r in results if r["arm"] == "full"] or [results[-1]])
+    full = pick[-1]
     if args.results_json == str(REPO / "benchmarks" / "accuracy_results.json"):
+        if (full["arm"], full["layout"]) != ("full", "recording"):
+            print(f"note: accuracy_history.png is the {full['layout']}/"
+                  f"{full['arm']} arm (recording/full did not run)")
         plot_icbhi_history(full["history"], save_path=str(
             REPO / "benchmarks" / "accuracy_history.png"))
 

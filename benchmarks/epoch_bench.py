@@ -92,8 +92,13 @@ def main():
             t.train_epoch(e)
         dt = (time.perf_counter() - t0) / epochs
         n = len(train)
-        steps = n // (cfg["training"]["batch_size"]
-                      * cfg["training"]["gradient_accumulation_steps"])
+        # optimizer steps per epoch INCLUDING the partial tail accumulation
+        # group the trainer really steps (trainer._train_epoch_fused /
+        # _grouped_batches both step it) — n // (batch*accum) undercounted
+        # and overstated ms/step ~14% at the default sizes
+        batches = n // cfg["training"]["batch_size"]  # drop_last=True
+        accum = cfg["training"]["gradient_accumulation_steps"]
+        steps = -(-batches // accum)
         label = {1: "per-step dispatch", 0: "whole-epoch fused"}.get(
             spd, f"chunked spd={spd}")
         print(f"{label:20s}: {dt:.3f} s/epoch ({n} clips, ~{steps} steps, "

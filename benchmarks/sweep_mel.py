@@ -7,11 +7,17 @@ vs the float64 golden — the 1e-3 budget decides which precision the
 production path may use.
 """
 
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 
 def golden_mel(wav, sr=16000, n_fft=2048, hop=512, n_mels=128):
@@ -91,7 +97,11 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     out = f(wavs)
-                jax.block_until_ready(out)
+                # End the window with a REAL data fetch: block_until_ready
+                # can return early through the tunnel (CLAUDE.md trap) and
+                # inflates clips/s. A single logits scalar keeps the fetch
+                # itself negligible.
+                float(np.asarray(out[0][0, 0]))
                 dt = time.perf_counter() - t0
                 if dt > 0.7 or reps >= 128:
                     break

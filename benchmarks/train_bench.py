@@ -9,9 +9,15 @@ our full sharded train step (on-device augmentation + mel + fwd/bwd +
 optimizer) in clips/s and steps/s.
 """
 
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 
 def main():
@@ -46,7 +52,6 @@ def main():
         opt_state = tx.init(params)
 
         rng = np.random.default_rng(0)
-        b = batch // max(1, accum)  # loader batch per microbatch = batch
         wavs = jnp.asarray(
             rng.standard_normal((accum, batch, frontend.target_length)).astype(np.float32) * 0.1
         )
@@ -84,7 +89,6 @@ def main():
             f"[compile {compile_s:.1f}s, loss {float(m['loss']):.3f}]",
             flush=True,
         )
-        del b
 
         # --- multi-step-per-dispatch (Trainer cache_on_device path): K
         # optimizer steps scanned on device against an HBM-resident cache,

@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 
 from audio_classification_icbhi_tpu.utils.tensorboard import read_scalars
-from generate_confusion_matrix import main as _ckpt_main  # noqa: F401  (shared flow)
 
 
 def summarize_runs(log_dir: str) -> dict:

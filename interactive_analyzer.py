@@ -167,17 +167,20 @@ class InteractiveAudioVisualizer:
                         self._stop()
                     elif event.key == pg.K_ESCAPE:
                         running = False
-            if self.playing:
-                self.current_time += 1.0 / 60.0
-                if self.current_time >= self.duration:
-                    self.current_time = 0.0
-                    self.playing = False
-                    self._stop()
             self.screen.fill(self.bg_color)
             self.draw_timeline()
             self.draw_info()
             pg.display.flip()
-            clock.tick(60)
+            # advance by the ACTUAL frame time: a fixed 1/60 s per frame
+            # drifts behind the real-time audio whenever rendering drops
+            # below 60 fps (this box has one CPU core)
+            elapsed_ms = clock.tick(60)
+            if self.playing:
+                self.current_time += elapsed_ms / 1000.0
+                if self.current_time >= self.duration:
+                    self.current_time = 0.0
+                    self.playing = False
+                    self._stop()
         self._stop()
         pg.quit()
 
