@@ -314,6 +314,41 @@ class TestTrainerEndToEnd:
         np.testing.assert_array_equal(true_f, true_p)
         np.testing.assert_array_equal(pred_f, pred_p)
 
+    def test_chunked_fused_validation_matches_per_batch(self, seg_data, tmp_path):
+        """steps_per_dispatch=K bounds the eval_many program size: a
+        2-device mesh with batch 2 gives ~5 full val batches, so K=2 splits
+        them into 3 eval_many dispatches (2+2+1) — results must equal the
+        per-batch path exactly, like the single-dispatch case."""
+        from audio_classification_icbhi_tpu.parallel.mesh import get_mesh
+
+        config = tiny_config(tmp_path, epochs=1)
+        config["data"]["cache_on_device"] = True
+        config["training"]["batch_size"] = 2
+        config["training"]["steps_per_dispatch"] = 2
+        train, val = make_datasets(seg_data, config)
+        t = Trainer(build_model(config, axis_name="data"), train, val, config,
+                    mesh=get_mesh(num_devices=2))
+        t.collect_predictions = True
+
+        calls = []
+        orig_many = t.steps.eval_many
+        t.steps = t.steps._replace(
+            eval_many=lambda *a, **k: (calls.append(1), orig_many(*a, **k))[1]
+        )
+        assert t._use_fused_eval()
+        loss_f, acc_f = t.validate(0)
+        true_f, pred_f = t.val_predictions
+        full = sum(1 for b in t.val_loader._batch_indices() if len(b) == 2)
+        assert len(calls) == -(-full // 2)  # ceil(full/K) chunked dispatches
+
+        t.config["training"]["steps_per_dispatch"] = 1
+        loss_p, acc_p = t.validate(0)
+        true_p, pred_p = t.val_predictions
+        assert loss_f == pytest.approx(loss_p, rel=1e-5)
+        assert acc_f == pytest.approx(acc_p)
+        np.testing.assert_array_equal(true_f, true_p)
+        np.testing.assert_array_equal(pred_f, pred_p)
+
     def test_fp16_legacy_trainer_and_scale_state_resume(self, seg_data, tmp_path):
         """Two regressions: (1) LegacyTrainer's step rebuild dropped
         dynamic_loss_scale, so fp16 runs crashed with an arity mismatch at
