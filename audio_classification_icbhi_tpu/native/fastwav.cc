@@ -41,7 +41,8 @@ enum {
   ERR_NO_CHUNKS = 3,
   ERR_FORMAT = 4,
   ERR_CAPACITY = 5,
-  ERR_ALLOC = 6,  // std::bad_alloc etc. caught at the ABI boundary
+  ERR_ALLOC = 6,      // std::bad_alloc etc. caught at the ABI boundary
+  ERR_TRUNCATED = 7,  // chunk declares more bytes than the file holds
 };
 
 uint32_t rd_u32(const uint8_t* p) {
@@ -107,7 +108,9 @@ int parse_header(const std::vector<uint8_t>& raw, Header& h) {
     const uint8_t* cid = raw.data() + pos;
     uint32_t csize = rd_u32(raw.data() + pos + 4);
     const uint8_t* body = raw.data() + pos + 8;
-    if (pos + 8 + csize > size) csize = (uint32_t)(size - pos - 8);
+    // reject rather than clamp: a partially-written file would otherwise
+    // decode to silently shortened audio (matches data/wavio.py)
+    if (pos + 8 + csize > size) return ERR_TRUNCATED;
     if (!std::memcmp(cid, "fmt ", 4)) {
       fmt = body;
       fmt_len = csize;

@@ -6,6 +6,7 @@ and diagnose_data.py (SURVEY.md §4).
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from audio_classification_icbhi_tpu.data import (
     BatchLoader,
@@ -156,6 +157,43 @@ class TestWavIO:
         np.testing.assert_array_equal(pad_or_crop(long, 4), [3, 4, 5, 6])
         same = np.arange(5, dtype=np.float32)
         assert pad_or_crop(same, 5) is same
+
+    def test_decoder_fuzz_no_crash(self, tmp_path, rng):
+        """Seeded structural fuzz of both decoders (python + native): random
+        byte flips, truncations, and size-field corruptions of a valid WAV
+        must either decode or raise/return an error — never crash the
+        process (the native path runs in GIL-free threads where an escaped
+        exception would std::terminate; guards + ERR_ALLOC pin this)."""
+        from audio_classification_icbhi_tpu import native
+
+        base_p = tmp_path / "base.wav"
+        write_wav(base_p, (0.3 * rng.standard_normal(2000)).astype(np.float32), 8000)
+        base = bytearray(base_p.read_bytes())
+        paths = []
+        for i in range(120):
+            raw = bytearray(base)
+            kind = i % 3
+            if kind == 0:  # flip a few bytes anywhere (incl. headers)
+                for _ in range(3):
+                    raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+            elif kind == 1:  # truncate
+                raw = raw[: int(rng.integers(0, len(raw)))]
+            else:  # corrupt a chunk-size field with a huge value
+                off = int(rng.integers(0, max(len(raw) - 4, 1)))
+                raw[off : off + 4] = int(rng.integers(0, 2**32)).to_bytes(4, "little")
+            p = tmp_path / f"fuzz_{i}.wav"
+            p.write_bytes(bytes(raw))
+            paths.append(p)
+            try:
+                read_wav(p)  # python codec: decode or ValueError
+            except (ValueError, struct_error):
+                pass
+            if native.available():
+                native.decode_mono(p)  # native: result or None, never abort
+        if native.available():
+            # batched native decode over the whole fuzz corpus in one call
+            out = native.decode_batch(paths, target_len=2000, n_threads=4)
+            assert out is not None and out[0].shape == (len(paths), 2000)
 
     def test_float64_decode(self, tmp_path, rng):
         import struct
