@@ -12,6 +12,12 @@ the CPU pin and the virtual device count go through jax.config instead.
 import os
 import sys
 
+# Stash the TRUE ambient platform before overwriting, so subprocess tests
+# (test_graft_entry) can reconstruct the driver's environment — e.g.
+# JAX_PLATFORMS=axon, under which dryrun_multichip must self-pin CPU or die
+# with "requested 8 devices, have 1" (the round-1 regression).
+os.environ.setdefault("AMBIENT_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+
 # Env vars kept for subprocesses the tests may spawn.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

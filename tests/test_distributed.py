@@ -102,11 +102,19 @@ def test_two_process_train_step(tmp_path):
         for pid in range(2)
     ]
     logs = []
-    for pid, proc in enumerate(procs):
-        stdout, _ = proc.communicate(timeout=420)
-        logs.append(stdout)
-        assert proc.returncode == 0, f"pid {pid}:\n{stdout[-3000:]}"
-        assert f"WORKER-OK pid={pid}" in stdout, stdout[-2000:]
+    try:
+        for pid, proc in enumerate(procs):
+            stdout, _ = proc.communicate(timeout=420)
+            logs.append(stdout)
+            assert proc.returncode == 0, f"pid {pid}:\n{stdout[-3000:]}"
+            assert f"WORKER-OK pid={pid}" in stdout, stdout[-2000:]
+    finally:
+        # one worker crashing leaves its peer blocked in the first
+        # collective forever — without this both orphans would keep
+        # spinning on the 1-CPU box long after the test fails/times out
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
     assert out.exists(), logs[0][-2000:]
 
     # single-process reference on this test process's own 8-device mesh

@@ -305,12 +305,16 @@ class TestLogMelEndToEnd:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
     def test_jit_once(self, rng):
+        """Two same-shape calls must hit ONE compilation: a MelFrontend
+        hashability regression would retrace per call — a ~16 s tunnel
+        recompile every training step in production."""
         fe = mel_ops.MelFrontend(duration=1.0)
         f = jax.jit(fe.__call__)
         x = jnp.asarray(make_signal(rng, SR)[None])
         out1 = f(x)
         out2 = f(x + 0.0)
         assert out1.shape == out2.shape == (1, N_MELS, 32)
+        assert f._cache_size() == 1  # the assertion the test's name promises
 
 
 class TestAugment:
@@ -330,17 +334,28 @@ class TestAugment:
         np.testing.assert_allclose(np.roll(x0, start), y)
 
     def test_masks_zero_a_band(self):
-        key = jax.random.PRNGKey(1)
+        # find keys whose draws give a nonzero masked band for each axis, so
+        # a mask that regressed to a no-op CANNOT pass (a vacuous 0 <= len
+        # lower bound used to let that through), then pin width bound +
+        # contiguity for BOTH masks
         spec = jnp.ones((1, 128, 100))
-        fm = np.asarray(ops.freq_mask(key, spec, 15))
-        tm = np.asarray(ops.time_mask(key, spec, 35))
-        # masked rows fully zero; unmasked untouched
-        zero_rows = np.where(fm[0].sum(axis=1) == 0)[0]
-        assert 0 <= len(zero_rows) <= 15
-        zero_cols = np.where(tm[0].sum(axis=0) == 0)[0]
-        assert 0 <= len(zero_cols) <= 35
-        if len(zero_rows) > 1:
-            assert np.all(np.diff(zero_rows) == 1)  # contiguous band
+        checked_f = checked_t = False
+        for seed in range(20):
+            key = jax.random.PRNGKey(seed)
+            fm = np.asarray(ops.freq_mask(key, spec, 15))
+            tm = np.asarray(ops.time_mask(key, spec, 35))
+            zero_rows = np.where(fm[0].sum(axis=1) == 0)[0]
+            zero_cols = np.where(tm[0].sum(axis=0) == 0)[0]
+            assert len(zero_rows) <= 15 and len(zero_cols) <= 35
+            if len(zero_rows) > 1:
+                assert np.all(np.diff(zero_rows) == 1)  # contiguous band
+                checked_f = True
+            if len(zero_cols) > 1:
+                assert np.all(np.diff(zero_cols) == 1)
+                checked_t = True
+            if checked_f and checked_t:
+                break
+        assert checked_f and checked_t, "no key produced a visible mask"
 
     def test_mask_bounds_truncate_like_torchaudio(self):
         """torchaudio draws float (value, min) but truncates BOTH bounds to

@@ -15,11 +15,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _ambient_env():
-    """The env the driver would use: drop the CPU pins conftest exports."""
+    """The env the driver would use: drop the CPU pins conftest exports and
+    restore the TRUE ambient JAX_PLATFORMS (conftest stashes it before
+    overwriting — without this, the subprocess inherits conftest's cpu pin
+    and the round-1 regression this file exists for is undetectable)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORM_NAME", None)
-    # Keep JAX_PLATFORMS if it was ambient (axon); conftest sets it to cpu,
-    # which is fine too — the point is dryrun must not *depend* on it.
+    ambient = env.pop("AMBIENT_JAX_PLATFORMS", "")
+    if ambient:
+        env["JAX_PLATFORMS"] = ambient
+    else:
+        env.pop("JAX_PLATFORMS", None)
     flags = env.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", ""
     ).strip()

@@ -72,11 +72,15 @@ class TestLightweightCNN:
     def test_conv_init_he_fan_out(self):
         model = LightweightCNN(num_classes=4)
         variables, _ = init_model(model, seed=3)
-        # First conv: kernel (3,3,1,32), fan_out = 3*3*32 = 288 -> std ~ sqrt(2/288)
-        k = variables["params"]["ConvBlock_1"]["Conv_0"]["kernel"]
-        fan_out = k.shape[0] * k.shape[1] * k.shape[3]
-        expected = np.sqrt(2.0 / fan_out)
-        assert abs(float(jnp.std(k)) - expected) / expected < 0.25
+        # STEM conv (ConvBlock_0, flax 0-based): kernel (3,3,1,32),
+        # fan_out = 3*3*32 = 288 -> std ~ sqrt(2/288). The stem is the block
+        # most likely to deviate (fan_in 1); check a deeper block too.
+        for block, in_ch, out_ch in (("ConvBlock_0", 1, 32), ("ConvBlock_1", 32, 64)):
+            k = variables["params"][block]["Conv_0"]["kernel"]
+            assert k.shape == (3, 3, in_ch, out_ch)
+            fan_out = k.shape[0] * k.shape[1] * k.shape[3]
+            expected = np.sqrt(2.0 / fan_out)
+            assert abs(float(jnp.std(k)) - expected) / expected < 0.25, block
 
 
 class TestCompactResNet:
@@ -104,7 +108,16 @@ class TestCompactResNet:
             mutable=["batch_stats"],
         )
         assert out.shape == (2, 4)
-        assert "batch_stats" in mutated
+        # stats must actually MOVE from init (flax returns the collection
+        # whether or not values updated, so key-presence alone is vacuous)
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(variables["batch_stats"]),
+                jax.tree_util.tree_leaves(mutated["batch_stats"]),
+            )
+        )
+        assert moved
 
 
 class TestRegistry:

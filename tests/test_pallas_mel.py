@@ -463,10 +463,12 @@ class TestPallasMel:
         )
 
     def test_auto_policy_conditions(self, monkeypatch):
-        """auto picks the fused Pallas kernel only for the measured-win
-        regime: radix2_fused-eligible shape, batched input, normalize
-        fused, real TPU backend (PARITY.md sweep)."""
-        fe = mel_ops.MelFrontend()  # 2048/512: radix2_fused-eligible
+        """auto picks a fused Pallas kernel only for the measured-win
+        regime: a fused-eligible shape, batched input, normalize fused,
+        real TPU backend (PARITY.md sweep; the production 2048/512 shape
+        selects radix8dif_fused — pinned by
+        test_frontend_pallas_algorithm_selection)."""
+        fe = mel_ops.MelFrontend()  # 2048/512: fused-eligible
         big = jnp.zeros((64, 80000), jnp.float32)
         # on the CPU test backend the platform guard must keep auto on XLA
         assert not fe._auto_pallas(big)
@@ -480,7 +482,7 @@ class TestPallasMel:
         assert not fe._auto_pallas(big[0])            # unbatched
         assert not mel_ops.MelFrontend(backend="xla")._auto_pallas(big)
         assert not mel_ops.MelFrontend(normalize=False)._auto_pallas(big)
-        # hop % 256 != 0 -> not radix2_fused-eligible
+        # n_fft % hop != 0 -> no fused kernel is eligible
         assert not mel_ops.MelFrontend(hop_length=500)._auto_pallas(
             jnp.zeros((64, 80000), jnp.float32)
         )
