@@ -138,7 +138,18 @@ class Trainer:
         # compute device — see init_variables).
         from audio_classification_icbhi_tpu.models.registry import init_variables
 
-        self.root_key = jax.random.PRNGKey(config.get("seed", 42))
+        # training.rng_impl (extension): "rbg" swaps the augmentation/dropout
+        # PRNG's bit generation to XLA's hardware RngBitGenerator while
+        # keeping threefry-style key splitting — the train step draws ~1.5M
+        # normals per microbatch for waveform noise, real VPU time threefry
+        # spends outside the MXU. Default (unset) = threefry2x32, byte-stable
+        # draws across backends.
+        rng_impl = tcfg.get("rng_impl")
+        seed = config.get("seed", 42)
+        self.root_key = (
+            jax.random.key(seed, impl=rng_impl) if rng_impl
+            else jax.random.PRNGKey(seed)
+        )
         init_key, self.train_key = jax.random.split(self.root_key)
         variables = init_variables(
             model, init_key, (2, dcfg["n_mels"], self.frontend.num_frames, 1)
