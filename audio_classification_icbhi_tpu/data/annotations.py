@@ -43,12 +43,19 @@ def parse_annotation_file(txt_path: str | Path) -> list[Cycle]:
 
 
 def label_from_flags(crackles: bool | int, wheezes: bool | int) -> int:
-    """(crackles, wheezes) -> class index (reference preprocess_icbhi.py:93-111)."""
-    if crackles and wheezes:
+    """(crackles, wheezes) -> class index (reference preprocess_icbhi.py:93-111).
+
+    Flags compare == 1 exactly (int(True) == 1 keeps bool callers working):
+    the reference tests `crackle == 1` everywhere, and truthiness here made
+    a corrupt flag value like 2 a crackle for the segmenter while
+    recording_label's `c.crackles == 1` ignored it — two labeling contracts
+    silently disagreeing on the same file."""
+    c, w = int(crackles) == 1, int(wheezes) == 1
+    if c and w:
         return CLASS_MAP["both"]
-    if crackles:
+    if c:
         return CLASS_MAP["crackles"]
-    if wheezes:
+    if w:
         return CLASS_MAP["wheezes"]
     return CLASS_MAP["normal"]
 

@@ -14,10 +14,16 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from audio_classification_icbhi_tpu.data.annotations import parse_annotation_file
+from audio_classification_icbhi_tpu.data.annotations import (
+    SEGMENT_DIR_NAMES,
+    parse_annotation_file,
+)
 from audio_classification_icbhi_tpu.data.wavio import load_audio, write_wav
 
-_LABELS = ("normal", "crackle", "wheeze", "both")
+# output dirs / stats keys derive from the ONE flag->dir mapping — a
+# hand-maintained copy could drift from get_label's names and silently
+# write zero segments
+_LABELS = tuple(SEGMENT_DIR_NAMES)
 
 
 class ICBHISegmenter:
@@ -63,8 +69,11 @@ class ICBHISegmenter:
             return 0
         created = 0
         for idx, c in enumerate(cycles):
-            start = int(c.start * self.sample_rate)
-            end = int(c.end * self.sample_rate)
+            # clamp corrupt annotation times: a negative start would become
+            # a negative python slice index, silently extracting END-of-file
+            # audio as a labeled segment
+            start = max(int(c.start * self.sample_rate), 0)
+            end = min(max(int(c.end * self.sample_rate), 0), len(audio))
             segment = audio[start:end]
             if len(segment) / self.sample_rate < self.min_duration:
                 self.stats["skipped_segments"] += 1

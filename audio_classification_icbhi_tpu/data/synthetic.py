@@ -24,7 +24,7 @@ Two difficulty regimes:
   snore tones so transient-ness/tonality alone cannot separate classes;
   event amplitudes span a continuum that crosses the noise floor (the faint
   tail is irreducible); pink background noise is mixed at a per-clip SNR
-  drawn from ``snr_db`` (default -6..12 dB); record gain varies ±12 dB.
+  drawn from ``snr_db`` (default -6..12 dB); record gain attenuates 0..−12 dB.
   Combined with
   the ICBHI class skew (``ICBHI_CLASS_PROBS``) this reproduces the dynamics
   the real task stresses: imbalance-aware weighting and augmentation matter,

@@ -69,7 +69,11 @@ def calculate_metrics(
             metrics["roc_auc_per_class"] = aucs
             finite = [a for a in aucs if np.isfinite(a)]
             metrics["roc_auc_macro"] = float(np.mean(finite)) if finite else float("nan")
-        except ValueError:
+        except (ValueError, IndexError):
+            # IndexError: y_prob with fewer columns than class_names (e.g. a
+            # 2-class model scored against the default 4-entry list) must
+            # degrade to NaN AUCs like every other failure mode here, not
+            # crash after evaluation already ran
             metrics["roc_auc_per_class"] = [float("nan")] * n
             metrics["roc_auc_macro"] = float("nan")
 
