@@ -494,6 +494,15 @@ def write_report(results: list[dict], args, out: Path) -> None:
         "--data <ICBHI root> --layouts recording` (the directory containing "
         "audio_and_txt_files/), or point --layouts segmented --data at a "
         "pre-segmented per-class directory.",
+        "",
+        "Note (post-sweep change, 2026-08-18): SpecAugment masks now "
+        "truncate both bounds to integers like torchaudio's "
+        "`mask_along_axis` (previously the float interval was masked — "
+        "~0.5 cells wider per mask on average). At the reference's 15/35 "
+        "mask params this is a <4% change in expected masked width; sweep "
+        "rows measured before the fix carry masks that were marginally "
+        "stronger, and the masking-direction conclusions (driven by "
+        "10+-cell effects) are unaffected.",
     ]
     out.write_text("\n".join(lines) + "\n")
     print(f"\nWrote {out}")
