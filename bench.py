@@ -117,7 +117,11 @@ def sweep():
     # each path for comparison — ("pallas", "radix4dif_fused") pins the
     # previous production kernel
     backends = [("auto", None), ("xla_radix2", None), ("xla", None),
-                ("pallas", None), ("pallas", "radix4dif_fused")]
+                ("pallas", None), ("pallas", "radix4dif_fused"),
+                # opt-in terminal decimation (sixteenth blocks = one lane
+                # register, 48% less DFT MXU work than radix-8): candidate
+                # for promotion if it wins here
+                ("pallas", "radix16dif_fused")]
     batches = [8, 32, 128, 512, 1024]
     rows = []
     for backend, algorithm in backends:
@@ -260,8 +264,8 @@ def parity(out_path: str = "PARITY_r03.json"):
             _golden_mel_f32(w, sr, n_fft, hop, n_mels) for w in wavs
         ]))
 
-        for algo in ("radix8dif_fused", "radix4dif_fused", "radix4_fused",
-                     "radix2_fused", "radix2", "bf16x3", "f32"):
+        for algo in ("radix16dif_fused", "radix8dif_fused", "radix4dif_fused",
+                     "radix4_fused", "radix2_fused", "radix2", "bf16x3", "f32"):
             run(f"pallas_{algo}", lambda w, a=algo: log_mel_pallas(
                 w, sr, n_fft, hop, n_mels, algorithm=a))
         run("xla_radix2", lambda w: mel_ops.amplitude_to_db(

@@ -44,6 +44,12 @@ def test_analytic_kernel_flops_sane():
     # pass scaling: f32 counts one dot where bf16x3 counts three
     f32 = analytic_flops("f32", length, 2048, 512, 128)
     assert 2.0 < full / f32 < 3.2
+    # each deeper DIF level removes real DFT work (equal 4-pass basis):
+    # radix-16's K=128 cols ~0.52x radix-8's K=256 work
+    r8 = analytic_flops("radix8dif_fused", length, 2048, 512, 128)
+    r16 = analytic_flops("radix16dif_fused", length, 2048, 512, 128)
+    assert r16 < r8 < r4, (r16, r8, r4)
+    assert 0.45 < (r16 / r8) < 0.75
 
 
 def test_parity_battery_shapes():
