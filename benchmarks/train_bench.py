@@ -57,7 +57,13 @@ def main():
         )
         labels = jnp.asarray(rng.integers(0, 4, (accum, batch)).astype(np.int32))
         cw = np.ones(4, np.float32)
-        key = jax.random.PRNGKey(0)
+        import os as _os
+
+        # BENCH_RNG_IMPL=rbg measures training.rng_impl's effect (hardware
+        # RNG bits for the ~1.5M augmentation gaussians per microbatch)
+        _impl = _os.environ.get("BENCH_RNG_IMPL")
+        key = (jax.random.key(0, impl=_impl) if _impl
+               else jax.random.PRNGKey(0))
 
         t0 = time.perf_counter()
         # Warmup: step 0 compiles; step 1 RE-compiles for the device-native
