@@ -370,7 +370,15 @@ def make_step_fns(
         return num, den, correct, preds
 
     def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
-        return _eval_core(params, batch_stats, wavs, labels, mask, class_weights)
+        logits, num, den, correct = _eval_core(
+            params, batch_stats, wavs, labels, mask, class_weights
+        )
+        # replicate the (B, C) logits so every host can fetch them directly
+        # (np.asarray of a batch-sharded output is not fully addressable on
+        # a multi-host mesh); tiled all_gather restores the original row
+        # order, and on one device it is a no-op
+        logits = jax.lax.all_gather(logits, axis_name, axis=0, tiled=True)
+        return logits, num, den, correct
 
     rep = P()
     batched = P(axis_name)
@@ -417,7 +425,7 @@ def make_step_fns(
             eval_shard,
             mesh=mesh,
             in_specs=(rep, rep, batched, batched, batched, rep),
-            out_specs=(batched, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep),
             check_vma=False,
         )
     )

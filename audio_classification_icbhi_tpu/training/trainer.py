@@ -23,6 +23,7 @@ Capability match for the reference's default trainer
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Any
@@ -91,6 +92,21 @@ class Trainer:
         self.frontend = MelFrontend.from_config(config)
 
         self.class_weights = self._calculate_class_weights()
+
+        # Multi-host SPMD: ≥2 jax.distributed processes share the global
+        # mesh. Host-local batch arrays cannot feed a global-mesh jit, so
+        # every sharded input goes through _global_batch (each process
+        # contributes its local_batch_slice rows) and replicated array
+        # inputs (class_weights, PRNG keys) are placed once with
+        # make_array_from_process_local_data. Pinned end-to-end by the
+        # 2-process full-Trainer test (tests/test_distributed.py).
+        self._multiprocess = jax.process_count() > 1
+        if self._multiprocess and dcfg.get("cache_on_device", False):
+            print("cache_on_device: disabled under multi-host training "
+                  "(the fused dispatch paths are single-controller); "
+                  "using the per-step host loader.")
+            dcfg = dict(dcfg)
+            dcfg["cache_on_device"] = False
 
         if dcfg.get("cache_on_device", False):
             # decode once, keep waveforms in HBM, ship only index batches
@@ -169,6 +185,16 @@ class Trainer:
         self._ckpt_writer = None
         self.writer = SummaryWriter(log_dir=tcfg.get("log_dir", "runs"))
 
+        if self._multiprocess:
+            # every array the global-mesh jit consumes must be a GLOBAL
+            # array: init ran on process-local devices, so re-place state
+            # and class weights replicated across the whole mesh
+            rep_tree = functools.partial(jax.tree_util.tree_map, self._replicated)
+            self.params = rep_tree(self.params)
+            self.batch_stats = rep_tree(self.batch_stats)
+            self.opt_state = rep_tree(self.opt_state)
+            self.class_weights = self._replicated(self.class_weights)
+
         self.history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
         self.val_predictions = (np.zeros(0, np.int64), np.zeros(0, np.int64))
         self.best_val_loss = float("inf")
@@ -196,6 +222,61 @@ class Trainer:
             name = self.config["classes"][i] if i < len(self.config["classes"]) else str(i)
             print(f"  {name}: {int(count)} samples (weight: {weight:.3f})")
         return weights.astype(np.float32)
+
+    # --------------------------------------------------------- multihost placement
+
+    def _replicated(self, x):
+        """Host value -> array replicated on the (possibly multi-process)
+        global mesh. Under one process this is an ordinary device_put."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P())
+        arr = np.asarray(x)
+        if self._multiprocess:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
+    def _replicated_key(self, key):
+        """PRNG keys cross into the global jit as replicated arrays; typed
+        keys (training.rng_impl) round-trip through key_data/wrap_key_data."""
+        if not self._multiprocess:
+            return key
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            data = self._replicated(jax.random.key_data(key))
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(key))
+        return self._replicated(key)
+
+    def _global_train_group(self, wavs, labels):
+        """(A, B, L)/(A, B) host group -> global arrays batch-sharded over
+        the mesh: each process contributes only its local_batch_slice rows
+        (the multi-host input contract, parallel/mesh.py). No-op under one
+        process — the jit reshards host arrays itself."""
+        if not self._multiprocess:
+            return wavs, labels
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audio_classification_icbhi_tpu.parallel.mesh import local_batch_slice
+
+        sl = local_batch_slice(wavs.shape[1])
+        sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return (
+            jax.make_array_from_process_local_data(sh, np.asarray(wavs[:, sl])),
+            jax.make_array_from_process_local_data(sh, np.asarray(labels[:, sl])),
+        )
+
+    def _global_eval_batch(self, wavs, labels, mask):
+        """(B, ...) eval batch -> global batch-sharded arrays (see above)."""
+        if not self._multiprocess:
+            return wavs, labels, mask
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audio_classification_icbhi_tpu.parallel.mesh import local_batch_slice
+
+        sl = local_batch_slice(wavs.shape[0])
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        place = functools.partial(jax.make_array_from_process_local_data, sh)
+        return (place(np.asarray(wavs[sl])), place(np.asarray(labels[sl])),
+                place(np.asarray(mask[sl])))
 
     # ------------------------------------------------------------------ epochs
 
@@ -320,6 +401,9 @@ class Trainer:
         step_metrics = []
         for step_idx, (wavs, labels) in enumerate(self._grouped_batches(self.train_loader)):
             key = jax.random.fold_in(jax.random.fold_in(self.train_key, epoch), step_idx)
+            if self._multiprocess:
+                wavs, labels = self._global_train_group(wavs, labels)
+                key = self._replicated_key(key)
             if self.dynamic_loss_scale:
                 (self.params, self.batch_stats, self.opt_state, metrics,
                  self.scale_state) = self.steps.train_step(
@@ -440,8 +524,12 @@ class Trainer:
         sums, total = [], 0.0
         kept_preds, kept_labels, kept_b = [], [], []
         for wavs, labels, mask, b in self._eval_batches(self.val_loader):
+            # hosts keep the ORIGINAL labels for metrics; only the jit
+            # inputs get multi-host placement
+            g_wavs, g_labels, g_mask = self._global_eval_batch(wavs, labels, mask)
             logits, num, den, corr = self.steps.eval_step(
-                self.params, self.batch_stats, wavs, labels, mask, self.class_weights
+                self.params, self.batch_stats, g_wavs, g_labels, g_mask,
+                self.class_weights
             )
             jax.block_until_ready(num)  # shallow queue; reads deferred (see train_epoch)
             sums.append((num, den, corr))
@@ -618,6 +706,11 @@ class Trainer:
         # training.checkpoint_format: "msgpack" (single file, default) or
         # "orbax" (directory; sharded-array/multi-host-aware writes)
         fmt = self.config["training"].get("checkpoint_format", "msgpack")
+        if self._multiprocess and fmt == "msgpack" and jax.process_index() != 0:
+            # one writer for the single-file format (all processes hold
+            # identical replicated state); orbax coordinates its own
+            # multi-host writes and needs every process to call save
+            return
         payload = self._checkpoint_payload(epoch, val_loss, extra or {})
         if self.async_checkpoint:
             if self._ckpt_writer is None:
@@ -654,6 +747,13 @@ class Trainer:
         self.params = serialization.from_state_dict(self.params, ckpt["params"])
         self.batch_stats = serialization.from_state_dict(self.batch_stats, ckpt["batch_stats"])
         self.opt_state = serialization.from_state_dict(self.opt_state, ckpt["opt_state"])
+        if self._multiprocess:
+            # restored leaves are host arrays; the global-mesh jit needs
+            # global placement (every process restores the same file)
+            rep_tree = functools.partial(jax.tree_util.tree_map, self._replicated)
+            self.params = rep_tree(self.params)
+            self.batch_stats = rep_tree(self.batch_stats)
+            self.opt_state = rep_tree(self.opt_state)
         self.start_epoch = int(ckpt["epoch"]) + 1
 
         if self.dynamic_loss_scale and "scale_state" in ckpt:

@@ -132,6 +132,72 @@ def test_two_process_train_step(tmp_path):
         np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=2e-4, atol=1e-6)
 
 
+def test_two_process_full_trainer(tmp_path):
+    """The COMPLETE Trainer.train() loop across a real process boundary:
+    two jax.distributed processes run loader -> multihost batch placement
+    (_global_train_group/_global_eval_batch contribute per-process
+    local_batch_slice rows) -> sharded train/eval -> scheduler ->
+    process-0-gated checkpoints, on a shared synthetic dataset. Final
+    params AND per-epoch loss history must match a single-process
+    8-device Trainer run of the identical config — upgrading the
+    multi-host story from 'step fns proven' to 'Trainer proven'."""
+    import numpy as np
+
+    from audio_classification_icbhi_tpu.data.synthetic import (
+        generate_segmented_dataset,
+    )
+
+    data_root = generate_segmented_dataset(
+        tmp_path / "seg", per_class=8, duration=0.8, sample_rate=4000
+    )
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
+    out = tmp_path / "trainer.npz"
+    worker = os.path.join(REPO, "tests", "distributed_trainer_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2",
+             str(data_root), str(tmp_path), str(out)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    try:
+        for pid, proc in enumerate(procs):
+            stdout, _ = proc.communicate(timeout=540)
+            assert proc.returncode == 0, f"pid {pid}:\n{stdout[-4000:]}"
+            assert f"TRAINER-OK pid={pid}" in stdout, stdout[-2000:]
+    finally:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+    assert out.exists()
+    assert (tmp_path / "ckpts" / "best_model.ckpt").exists()  # process 0 wrote
+
+    # single-process reference: the SAME Trainer config on this test
+    # process's own 8-device mesh
+    from tests.distributed_trainer_worker import build_config, run_trainer
+
+    ref_t, ref_hist = run_trainer(build_config(str(data_root), str(tmp_path / "ref"), 0))
+    got = np.load(out)
+    np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)
+    import jax
+
+    ref_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(ref_t.params)]
+    assert len(ref_leaves) == len([k for k in got.files if k.startswith("leaf")])
+    for i, ref in enumerate(ref_leaves):
+        # gloo vs shared-memory reduction ORDER differs by ~1 ulp per psum;
+        # adam's 1/sqrt(v) amplifies that on near-zero grads (measured: ~1
+        # element per run drifts to ~5e-5 abs after 2 epochs) — the loss
+        # histories above are pinned at 2e-4, the meaningful equivalence
+        np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=1e-3, atol=1e-4)
+
+
 def test_coordinator_bringup_subprocess():
     """Full jax.distributed.initialize with num_processes=1: starts the
     coordinator service, connects to it, and reports process 0 of 1.
