@@ -79,3 +79,36 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate_multihost(mesh: Mesh, tree):
+    """Replicate host values across a (possibly multi-process) global mesh.
+
+    device_put cannot place onto devices this process does not address;
+    make_array_from_process_local_data can (every process supplies the same
+    full value). Single-process meshes take the plain device_put path."""
+    sharding = NamedSharding(mesh, P())
+
+    def place(x):
+        arr = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def shard_eval_batch_multihost(mesh: Mesh, wavs, labels, mask,
+                               axis_name: str = DATA_AXIS):
+    """(B, ...) eval batch -> global arrays batch-sharded over the mesh,
+    each process contributing its local_batch_slice rows. No-op under one
+    process (the jit reshards host arrays itself)."""
+    if jax.process_count() == 1:
+        return wavs, labels, mask
+    sl = local_batch_slice(np.asarray(wavs).shape[0], axis_name)
+    sh = NamedSharding(mesh, P(axis_name))
+
+    def place(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x)[sl])
+
+    return place(wavs), place(labels), place(mask)

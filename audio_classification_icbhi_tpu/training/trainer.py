@@ -228,13 +228,9 @@ class Trainer:
     def _replicated(self, x):
         """Host value -> array replicated on the (possibly multi-process)
         global mesh. Under one process this is an ordinary device_put."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from audio_classification_icbhi_tpu.parallel.mesh import replicate_multihost
 
-        sharding = NamedSharding(self.mesh, P())
-        arr = np.asarray(x)
-        if self._multiprocess:
-            return jax.make_array_from_process_local_data(sharding, arr)
-        return jax.device_put(arr, sharding)
+        return replicate_multihost(self.mesh, x)
 
     def _replicated_key(self, key):
         """PRNG keys cross into the global jit as replicated arrays; typed
@@ -266,17 +262,11 @@ class Trainer:
 
     def _global_eval_batch(self, wavs, labels, mask):
         """(B, ...) eval batch -> global batch-sharded arrays (see above)."""
-        if not self._multiprocess:
-            return wavs, labels, mask
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from audio_classification_icbhi_tpu.parallel.mesh import (
+            shard_eval_batch_multihost,
+        )
 
-        from audio_classification_icbhi_tpu.parallel.mesh import local_batch_slice
-
-        sl = local_batch_slice(wavs.shape[0])
-        sh = NamedSharding(self.mesh, P(DATA_AXIS))
-        place = functools.partial(jax.make_array_from_process_local_data, sh)
-        return (place(np.asarray(wavs[sl])), place(np.asarray(labels[sl])),
-                place(np.asarray(mask[sl])))
+        return shard_eval_batch_multihost(self.mesh, wavs, labels, mask)
 
     # ------------------------------------------------------------------ epochs
 

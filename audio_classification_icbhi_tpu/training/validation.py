@@ -43,15 +43,29 @@ class Validator:
 
     def validate(self, params, batch_stats) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (y_true, y_pred, y_prob) over the whole dataset
-        (reference validation.py:29-61)."""
+        (reference validation.py:29-61). Multi-host safe: sharded inputs
+        are assembled from per-process rows and state is replicated on the
+        global mesh, like the Trainer's validation (logits return
+        replicated from eval_step, so every host can fetch them)."""
         from audio_classification_icbhi_tpu.parallel.data_parallel import pad_eval_batch
+        from audio_classification_icbhi_tpu.parallel.mesh import (
+            replicate_multihost,
+            shard_eval_batch_multihost,
+        )
 
         ones = np.ones((self.num_classes,), np.float32)
+        if jax.process_count() > 1:
+            params = replicate_multihost(self.mesh, params)
+            batch_stats = replicate_multihost(self.mesh, batch_stats)
+            ones = replicate_multihost(self.mesh, ones)
         y_true, y_pred, y_prob = [], [], []
         for wavs, labels in self.loader:
             wavs, labels, mask, b = pad_eval_batch(wavs, labels, self.batch_size)
+            g_wavs, g_labels, g_mask = shard_eval_batch_multihost(
+                self.mesh, wavs, labels, mask
+            )
             logits, _, _, _ = self.steps.eval_step(
-                params, batch_stats, wavs, labels, mask, ones
+                params, batch_stats, g_wavs, g_labels, g_mask, ones
             )
             probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:b]
             y_prob.append(probs)

@@ -67,6 +67,20 @@ def run_trainer(config):
     return t, history
 
 
+def run_validator(trainer, config):
+    """Standalone Validator over the val split (multi-host placement path)."""
+    from audio_classification_icbhi_tpu.data.dataset_segmented import (
+        ICBHISegmentedDataset,
+    )
+    from audio_classification_icbhi_tpu.training.validation import Validator
+
+    val = ICBHISegmentedDataset(
+        config["data"]["dataset_path"], "val", config, augment=False
+    )
+    v = Validator(trainer.model, val, config, mesh=trainer.mesh)
+    return v.validate(trainer.params, trainer.batch_stats)
+
+
 def main() -> None:
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     data_root, out_dir, out_npz = sys.argv[4], sys.argv[5], sys.argv[6]
@@ -91,6 +105,7 @@ def main() -> None:
     config = build_config(data_root, out_dir, pid)
     trainer, history = run_trainer(config)
     assert trainer._multiprocess
+    y_true, y_pred, y_prob = run_validator(trainer, config)
 
     if pid == 0:
         leaves = [np.asarray(x) for x in
@@ -100,6 +115,7 @@ def main() -> None:
             train_loss=np.asarray(history["train_loss"], np.float64),
             val_loss=np.asarray(history["val_loss"], np.float64),
             val_acc=np.asarray(history["val_acc"], np.float64),
+            y_true=y_true, y_pred=y_pred, y_prob=y_prob,
             **{f"leaf{i}": l for i, l in enumerate(leaves)},
         )
     print(f"TRAINER-OK pid={pid} val_loss={history['val_loss'][-1]:.6f}",

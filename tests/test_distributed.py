@@ -180,9 +180,14 @@ def test_two_process_full_trainer(tmp_path):
 
     # single-process reference: the SAME Trainer config on this test
     # process's own 8-device mesh
-    from tests.distributed_trainer_worker import build_config, run_trainer
+    from tests.distributed_trainer_worker import (
+        build_config,
+        run_trainer,
+        run_validator,
+    )
 
-    ref_t, ref_hist = run_trainer(build_config(str(data_root), str(tmp_path / "ref"), 0))
+    ref_cfg = build_config(str(data_root), str(tmp_path / "ref"), 0)
+    ref_t, ref_hist = run_trainer(ref_cfg)
     got = np.load(out)
     np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
     np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)
@@ -196,6 +201,12 @@ def test_two_process_full_trainer(tmp_path):
         # element per run drifts to ~5e-5 abs after 2 epochs) — the loss
         # histories above are pinned at 2e-4, the meaningful equivalence
         np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=1e-3, atol=1e-4)
+
+    # the standalone Validator's multi-host placement path agrees too
+    ref_true, ref_pred, ref_prob = run_validator(ref_t, ref_cfg)
+    np.testing.assert_array_equal(got["y_true"], ref_true)
+    np.testing.assert_array_equal(got["y_pred"], ref_pred)
+    np.testing.assert_allclose(got["y_prob"], ref_prob, rtol=2e-3, atol=1e-4)
 
 
 def test_coordinator_bringup_subprocess():
