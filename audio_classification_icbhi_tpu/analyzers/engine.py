@@ -126,7 +126,10 @@ class AnalyzerEngine:
         """`mesh` (a jax.sharding.Mesh) shards the window axis across chips —
         the data-parallel analog of sequence parallelism for this workload
         (SURVEY.md §5 long-context row): arbitrary recording length scales by
-        splitting windows over the mesh, with one jitted graph."""
+        splitting windows over the mesh, with one jitted graph. Analyzers
+        are single-controller tools: the mesh may span many chips of ONE
+        process; multi-host serving shards RECORDINGS across hosts instead
+        (each host runs its own engine)."""
         if mode not in ("threshold", "legacy"):
             raise ValueError(f"unknown analyzer mode {mode!r} "
                              "(expected 'threshold' or 'legacy')")
