@@ -60,7 +60,7 @@ class FlexibleMelFrontend:
     Delegates the mel chain to a MelFrontend with the resolved window
     config, so the analyzer hot path gets the SAME measured auto policy as
     training/inference (ops/mel.py:_auto_pallas): on TPU the default 1-s
-    windows (2048/512, no resize needed) run the production radix8dif_fused Pallas
+    windows (2048/512, no resize needed) run the production radix16dif_fused Pallas
     kernel with the normalize epilogue fused; window configs that need a
     resize still run the kernel for the mel chain (epilogue outside, since
     resize sits between mel and normalize); CPU and kernel-ineligible

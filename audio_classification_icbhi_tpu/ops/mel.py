@@ -450,7 +450,7 @@ class MelFrontend:
             return False
         if self._pallas_algorithm() not in (
             "radix2_fused", "radix4_fused", "radix4dif_fused",
-            "radix8dif_fused"
+            "radix8dif_fused", "radix16dif_fused"
         ):
             return False
         try:
@@ -468,20 +468,27 @@ class MelFrontend:
         fuse the per-example epilogue. Decimation-in-FREQUENCY kernels are
         preferred — their wrapper's only prep is the reflect pad, where the
         DIT kernels' stream de-interleave cost a serialized HBM pass that
-        was the entire batch-512 knee. radix8dif_fused (42% less DFT MXU
-        work than radix-4 DIF at equal passes; 86.7k vs 74.1k mel-only
-        clips/s at batch 128 on v5e, +8.6% end-to-end) needs
-        n_fft % 1024 == 0 (lane-aligned eighth blocks) and hop % 128 == 0;
-        its 4-pass default measures 4.7e-4 dB in the 25 dB active region
-        on-chip (PARITY_r03.json) — the same band as radix-4's 4.6e-4, so
-        it meets the production budget on the same basis as every other
-        production kernel. radix4dif_fused covers n_fft % 512 == 0;
-        radix4_fused/radix2_fused remain for comparison; radix2 needs only
-        n_fft % 4 == 0; bf16x3 is the general fallback."""
+        was the entire batch-512 knee. radix16dif_fused (terminal
+        decimation: sixteenth blocks = one 128-lane register, 48% less DFT
+        MXU work than radix-8; 58.5k vs 49.1k end-to-end clips/s at batch
+        128 on v5e and the winner at EVERY batch size in the r3 sweep,
+        89% retention at batch 1024) needs n_fft % 2048 == 0 (lane-aligned
+        sixteenth blocks) and hop % 128 == 0; its 4-pass default measures
+        the same parity profile as radix-8's (battery max 1.13e-3 /
+        25 dB-active 1.1e-4 vs 1.22e-3 / 8.5e-5 — PARITY_r03.json carries
+        the on-chip rows). radix8dif_fused (42% less DFT MXU work than
+        radix-4 DIF at equal passes) covers n_fft % 1024 == 0; its 4-pass
+        default measures 4.7e-4 dB in the 25 dB active region on-chip —
+        the same band as radix-4's 4.6e-4, so the whole DIF family meets
+        the production budget on the same basis. radix4dif_fused covers
+        n_fft % 512 == 0; radix4_fused/radix2_fused remain for comparison;
+        radix2 needs only n_fft % 4 == 0; bf16x3 is the general fallback."""
         if self.pallas_algorithm is not None:
             return self.pallas_algorithm
         if self.n_fft % 4 == 0:
             if self.n_fft % self.hop_length == 0:
+                if (self.n_fft % 2048 == 0 and self.hop_length % 128 == 0):
+                    return "radix16dif_fused"
                 if (self.n_fft % 1024 == 0 and self.hop_length % 128 == 0):
                     return "radix8dif_fused"
                 if (self.n_fft % 512 == 0 and self.hop_length % 128 == 0):

@@ -112,16 +112,13 @@ def sweep():
     END-TO-END throughput. Markdown table to stdout (paste into PARITY.md)."""
     peak_tflops = 197.0  # v5e bf16 MXU peak / chip
     # auto's policy is shape/platform-based, not batch-based: the best
-    # eligible DIF kernel on TPU (radix8dif_fused for 2048/512) at every
+    # eligible DIF kernel on TPU (radix16dif_fused for 2048/512) at every
     # batch size (ops/mel.py:_pallas_algorithm); the explicit backends pin
-    # each path for comparison — ("pallas", "radix4dif_fused") pins the
-    # previous production kernel
+    # each path for comparison — radix8dif/radix4dif pin the two previous
+    # production kernels
     backends = [("auto", None), ("xla_radix2", None), ("xla", None),
-                ("pallas", None), ("pallas", "radix4dif_fused"),
-                # opt-in terminal decimation (sixteenth blocks = one lane
-                # register, 48% less DFT MXU work than radix-8): candidate
-                # for promotion if it wins here
-                ("pallas", "radix16dif_fused")]
+                ("pallas", None), ("pallas", "radix8dif_fused"),
+                ("pallas", "radix4dif_fused")]
     batches = [8, 32, 128, 512, 1024]
     rows = []
     for backend, algorithm in backends:

@@ -4,7 +4,7 @@ window->mel->logits->softmax pipeline (AnalyzerEngine's hot path,
 replacing reference realtime_analyzer_parallel.py:163-249).
 
 Measures the default analyzer config (1-s windows @ 16 kHz, 2048/512, 128
-mels — radix8dif_fused-eligible under the auto policy, no resize) per mel backend, so the
+mels — radix16dif_fused-eligible under the auto policy, no resize) per mel backend, so the
 Pallas-vs-XLA delta on the ANALYZER shapes is a recorded artifact
 (VERDICT r2 #5). Also reports a sub-second window config (0.5 s ->
 1024/256 + bilinear resize) where the fused kernels are genuinely

@@ -264,7 +264,7 @@ class TestFlexibleFrontend:
         hardcoded the XLA radix-2 path)."""
         fe = FlexibleMelFrontend(16000, 128, 2048, 512, duration=1.0)
         assert not fe.needs_resize
-        assert fe._inner._pallas_algorithm() == "radix8dif_fused"
+        assert fe._inner._pallas_algorithm() == "radix16dif_fused"
         assert fe._inner.normalize  # epilogue fuses: nothing sits between
 
     def test_flexible_path_matches_fused_kernel(self, rng):

@@ -421,10 +421,14 @@ class TestPallasMel:
 
     def test_frontend_pallas_algorithm_selection(self):
         fe = mel_ops.MelFrontend(backend="pallas")
-        # 2048/512: radix-8 DIF eligible (n_fft % 1024 == 0, hop % 128 == 0)
-        # and preferred — 42% less DFT MXU work than radix-4 DIF, same
-        # 25 dB-active-region parity band on-chip (PARITY_r03.json)
-        assert fe._pallas_algorithm() == "radix8dif_fused"
+        # 2048/512: radix-16 DIF eligible (n_fft % 2048 == 0, hop % 128
+        # == 0) and preferred — terminal decimation, 48% less DFT MXU work
+        # than radix-8, end-to-end winner at every batch size in the r3
+        # sweep (58.5k vs 49.1k clips/s at batch 128), same
+        # 25 dB-active-region parity band (PARITY_r03.json)
+        assert fe._pallas_algorithm() == "radix16dif_fused"
+        # n_fft % 2048 != 0 -> sixteenth blocks can't lane-align; radix-8
+        # DIF eighth blocks can at n_fft % 1024 == 0
         assert (
             mel_ops.MelFrontend(backend="pallas", n_fft=1024, hop_length=256)
             ._pallas_algorithm() == "radix8dif_fused"
@@ -512,7 +516,7 @@ class TestPallasMel:
         """auto picks a fused Pallas kernel only for the measured-win
         regime: a fused-eligible shape, batched input, normalize fused,
         real TPU backend (PARITY.md sweep; the production 2048/512 shape
-        selects radix8dif_fused — pinned by
+        selects radix16dif_fused — pinned by
         test_frontend_pallas_algorithm_selection)."""
         fe = mel_ops.MelFrontend()  # 2048/512: fused-eligible
         big = jnp.zeros((64, 80000), jnp.float32)
