@@ -18,7 +18,11 @@ config_segmented.yaml shape), comparing:
   device against the HBM-resident waveform cache, metrics fetched ONCE.
 
 Round-3 measurement on the tunneled v5e: 85.4 -> 16.5 ms/step (5.2x,
-1,565 -> 8,101 clips/s); chunked spd=4 lands at 18.1 ms/step.
+1,565 -> 8,101 clips/s); chunked spd=4 lands at 18.1 ms/step. Late-r3
+rerun at --per-class 1500 (5,400 clips/epoch, 300-clip val split):
+train 59.4 -> 14.3 ms/step (4.2x, 2,166 -> 8,978 clips/s); validation
+445.0 -> 89.3 ms/epoch with fused eval_many (5.0x, 674 -> 3,358
+clips/s) — the whole val epoch's full batches scan in ONE dispatch.
 """
 
 from __future__ import annotations
