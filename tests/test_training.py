@@ -304,6 +304,44 @@ class TestCheckpoint:
         back = load_checkpoint(tmp_path / "async.ckpt")
         np.testing.assert_array_equal(back["params"]["x"], expect)
 
+    def test_async_writer_packed_snapshot_bit_exact(self, tmp_path):
+        """The single-buffer byte-packed snapshot (one device->host RPC per
+        checkpoint instead of one per leaf) must round-trip every dtype the
+        state tree can carry bit-exactly: fp32/bf16 (NaN payloads included
+        via bitcast), int32/int64 counts, bools, 0-d scalars, odd shapes."""
+        import jax.numpy as jnp
+
+        from audio_classification_icbhi_tpu.utils.checkpoint import (
+            AsyncCheckpointWriter,
+        )
+
+        rng = np.random.default_rng(0)
+        f32 = rng.standard_normal((7, 5)).astype(np.float32)
+        f32[0, 0] = np.nan  # bitcast must preserve the exact NaN bits
+        tree = {
+            "f32": jnp.asarray(f32),
+            "bf16": jnp.asarray(rng.standard_normal(33), jnp.bfloat16),
+            "i32": jnp.asarray(rng.integers(-(2**30), 2**30, 11), jnp.int32),
+            "count": jnp.asarray(7, jnp.int32),  # 0-d scalar leaf
+            "flag": jnp.asarray([True, False, True]),
+            "host_np": np.arange(4.0),  # host leaf: bypasses the pack
+            "epoch": 3,
+        }
+        expect = {k: np.asarray(v) for k, v in tree.items() if k != "epoch"}
+        w = AsyncCheckpointWriter()
+        try:
+            w.save(tmp_path / "packed.ckpt", tree)
+            w.wait()
+        finally:
+            w.close()
+        back = load_checkpoint(tmp_path / "packed.ckpt")
+        assert back["epoch"] == 3
+        for k, v in expect.items():
+            got = np.asarray(back[k]).astype(v.dtype)  # msgpack keeps dtype
+            np.testing.assert_array_equal(
+                np.atleast_1d(got).view(np.uint8),
+                np.atleast_1d(v).view(np.uint8), err_msg=k)
+
     def test_async_writer_raises_worker_errors(self, tmp_path):
         from audio_classification_icbhi_tpu.utils.checkpoint import (
             AsyncCheckpointWriter,
