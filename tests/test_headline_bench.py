@@ -42,7 +42,8 @@ def test_write_report_renders_and_rounds(tmp_path, monkeypatch):
     results = {
         "platform": "tpu",
         "training": {"epochs": 100, "train_clips": 6210, "val_clips": 345,
-                     "opt_steps_per_epoch": 49, "wall_s": 90.0,
+                     "opt_steps_per_epoch": 49, "wall_s": 225.0,
+                     "warm_wall_s": 90.0,
                      "s_per_epoch": 0.9, "ms_per_step": 18.4,
                      "final_val_acc_pct": 83.0, "best_val_loss": 0.41},
         "latency": {"batch1_e2e_ms_median": 51.2, "batch1_e2e_ms_p10": 47.5,
@@ -58,8 +59,9 @@ def test_write_report_renders_and_rounds(tmp_path, monkeypatch):
     }
     hb.write_report(results)
     md = (tmp_path / "HEADLINE.md").read_text()
-    # training speedup ratio = 2.5 h / 90 s = 100x
-    assert "**100x**" in md
+    # training speedup ratios: 2.5 h / 225 s cold = 40x, / 90 s warm = 100x
+    assert "**225 s** cold / **90 s** warm" in md
+    assert "**40x / 100x**" in md
     # amortized latency ratio = 10 ms / 0.0172 ms = 581x
     assert "581x amortized" in md
     assert "0.11 GB" in md and "< 3.5 GB" in md
