@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from audio_classification_icbhi_tpu.data.device_cache import dequantize
 from audio_classification_icbhi_tpu.ops import augment as aug_ops
 from audio_classification_icbhi_tpu.ops.mel import MelFrontend, normalize_spectrogram
 from audio_classification_icbhi_tpu.parallel.mesh import DATA_AXIS
@@ -312,7 +313,7 @@ def make_step_fns(
             k = jax.random.fold_in(key, si)
             # on-device gather: only (A, b) int32 indices ever crossed the
             # host->device link for this step
-            wavs = jnp.take(cache, idx.reshape(-1), axis=0).reshape(
+            wavs = dequantize(jnp.take(cache, idx.reshape(-1), axis=0)).reshape(
                 idx.shape + (cache.shape[-1],)
             )
             _, batch_stats, grads, losses, correct, count = _accumulate_grads(
@@ -360,7 +361,7 @@ def make_step_fns(
 
         def one(_, xs):
             idx, lab = xs
-            wavs = jnp.take(cache, idx, axis=0)
+            wavs = dequantize(jnp.take(cache, idx, axis=0))
             logits, num, den, correct = _eval_core(
                 params, batch_stats, wavs, lab, mask, class_weights
             )

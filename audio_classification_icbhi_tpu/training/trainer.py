@@ -113,12 +113,15 @@ class Trainer:
             # (data/device_cache.py — kills per-step host->device transfers)
             from audio_classification_icbhi_tpu.data.device_cache import DeviceCachedLoader
 
+            cache_dtype = dcfg.get("cache_dtype", "auto")
             self.train_loader = DeviceCachedLoader(
                 train_dataset, self.batch_size, mesh=self.mesh,
                 shuffle=True, drop_last=True, seed=config.get("seed", 42),
+                cache_dtype=cache_dtype,
             )
             self.val_loader = DeviceCachedLoader(
-                val_dataset, self.batch_size, mesh=self.mesh, shuffle=False
+                val_dataset, self.batch_size, mesh=self.mesh, shuffle=False,
+                cache_dtype=cache_dtype,
             )
             mb = (self.train_loader.nbytes + self.val_loader.nbytes) / 1e6
             print(f"Device cache: {mb:.0f} MB of waveforms resident in HBM")

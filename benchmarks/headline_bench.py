@@ -248,9 +248,11 @@ def bench_memory(per_class: int) -> dict:
         jnp.zeros((128, fe.target_length), jnp.float32)).compile())
 
     # HBM-resident dataset cache (data.cache_on_device) at ICBHI scale:
-    # train split of 4*per_class 3 s fp32 waveforms lives across the epoch
+    # train split of 4*per_class 3 s waveforms lives across the epoch,
+    # stored as lossless PCM16 (data.cache_dtype auto — 16-bit WAV sources
+    # round-trip exactly, device_cache._pcm16_quantize)
     n_train = int(4 * per_class * cfg["data"]["train_split"])
-    cache_bytes = n_train * frontend.target_length * 4
+    cache_bytes = n_train * frontend.target_length * 2
 
     gb = 1024.0**3
     # donated args alias outputs, so train peak = args + exec peak

@@ -224,6 +224,12 @@ class TestTrainerEndToEnd:
 
         dev = DeviceCachedLoader(train, 8, mesh=get_mesh(),
                                  shuffle=True, drop_last=True, seed=5)
+        # PCM16-sourced synthetic WAVs round-trip losslessly, so the default
+        # cache_dtype="auto" must have stored int16 — and everything below
+        # (bit-exact batches vs the host loader, identical training) then
+        # exercises the on-device dequant path
+        assert dev.cache.dtype == np.int16
+        assert dev.nbytes == dev.cache.size * 2
         dev.set_epoch(3)
         for (w1, l1), (w2, l2) in zip(host, dev):
             assert not isinstance(w2, np.ndarray)  # device-resident
@@ -241,6 +247,49 @@ class TestTrainerEndToEnd:
         np.testing.assert_allclose(hist_dev["val_loss"], hist_host["val_loss"],
                                    rtol=1e-5)
         jax.block_until_ready(t_dev.params)
+
+    def test_cache_dtype_modes(self, seg_data, tmp_path):
+        """data.cache_dtype: "auto" quantizes to PCM16 only when the
+        round-trip is bit-exact (falling back to fp32 on e.g. gain-scaled
+        audio), "float32" forces fp32 even for PCM16 sources, and "int16"
+        asserts losslessness instead of silently degrading."""
+        import pytest as _pytest
+
+        from audio_classification_icbhi_tpu.data.device_cache import (
+            DeviceCachedLoader, _pcm16_quantize, dequantize,
+        )
+
+        config = tiny_config(tmp_path / "modes", epochs=1)
+        train, _ = make_datasets(seg_data, config)
+
+        forced = DeviceCachedLoader(train, 8, cache_dtype="float32")
+        assert forced.cache.dtype == np.float32
+
+        # _pcm16_quantize ground truth: exact for PCM16 grids (full-scale
+        # endpoints included), None for anything off-grid or non-finite
+        grid = np.array([[-32768, -1, 0, 1, 32767]], np.float32) / 32768.0
+        q = _pcm16_quantize(grid)
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(q)), grid)
+        assert _pcm16_quantize(grid * 0.3) is None            # gain off grid
+        assert _pcm16_quantize(grid + np.float32(2.0)) is None  # out of range
+        bad = grid.copy(); bad[0, 0] = np.nan
+        assert _pcm16_quantize(bad) is None
+
+        class LossyLoader(DeviceCachedLoader):
+            """Loader whose decode applies an off-grid gain (models
+            resampled/normalized corpora that must not be quantized)."""
+
+            def _load_batch(self, idxs):
+                w, lbl = super()._load_batch(idxs)
+                return w * np.float32(0.3), lbl
+
+        lossy = LossyLoader(train, 8, cache_dtype="auto")
+        assert lossy.cache.dtype == np.float32  # auto fell back, no error
+        with _pytest.raises(ValueError, match="round-trip"):
+            LossyLoader(train, 8, cache_dtype="int16")
+        with _pytest.raises(ValueError, match="cache_dtype"):
+            DeviceCachedLoader(train, 8, cache_dtype="pcm")
 
     def test_multi_step_dispatch_matches_per_step(self, seg_data, tmp_path):
         """The multi-step-per-dispatch path (train_many: whole epoch or K
