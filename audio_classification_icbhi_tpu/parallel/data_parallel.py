@@ -101,6 +101,52 @@ def features_from_wavs(
     return mel[..., None]
 
 
+def features_from_wavs_grouped(frontend, wavs, keys, *, augment: bool):
+    """(A, B, L) microbatched wavs + per-microbatch aug keys (A,) ->
+    (A, B, n_mels, T, 1) features, computed as ONE flattened (A*B)-wide
+    front-end pass.
+
+    The whole front end (wave-aug, mel, dB, spec-aug, normalize) is
+    per-example, so evaluating the A microbatches flattened is EXACTLY
+    equal per example to A separate `features_from_wavs` calls — same
+    per-example keys (each microbatch's key splits k_wav/k_spec and then
+    per-example streams, byte-identical to the unflattened discipline),
+    same ops. What changes is matmul width: the mel kernel and the DFT
+    matmuls see batch A*B instead of A sequential B-wide passes, which is
+    the whole point of the parallel accumulation mode (accum_steps
+    microbatches exist for BatchNorm semantics, not because the chip
+    needs them sequential). Equality is pinned by
+    tests/test_training.py::test_grouped_features_match_per_microbatch.
+    """
+    a, b = wavs.shape[0], wavs.shape[1]
+    flat = wavs.reshape((a * b,) + wavs.shape[2:])
+
+    def flat_keys(ks):
+        ex = jax.vmap(lambda k: jax.random.split(k, b))(ks)
+        return ex.reshape((a * b,) + ex.shape[2:])
+
+    if augment:
+        k_wav = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        k_spec = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        flat = jax.vmap(aug_ops.augment_waveform)(flat_keys(k_wav), flat)
+        if frontend._use_pallas() or frontend._auto_pallas(flat, need_normalize=False):
+            bounds = jax.vmap(
+                lambda k: aug_ops.spec_mask_bounds(
+                    k, frontend.n_mels, frontend.num_frames)
+            )(flat_keys(k_spec))
+            mel = frontend._pallas_log_mel(flat, normalize=True,
+                                           spec_mask_bounds=bounds)
+        else:
+            mel = frontend.log_mel(flat)
+            mel = jax.vmap(aug_ops.augment_spectrogram)(flat_keys(k_spec), mel)
+            mel = normalize_spectrogram(mel)
+    elif frontend._use_pallas() or frontend._auto_pallas(flat):
+        mel = frontend._pallas_log_mel(flat, normalize=True)
+    else:
+        mel = normalize_spectrogram(frontend.log_mel(flat))
+    return mel.reshape((a, b) + mel.shape[1:])[..., None]
+
+
 def pad_eval_batch(wavs, labels, batch_size: int):
     """Pad a partial batch to batch_size with a validity mask — the ONE
     implementation of eval_step's padding contract (Trainer validation,
@@ -155,6 +201,8 @@ def make_step_fns(
     max_grad_norm: float = 1.0,
     axis_name: str = DATA_AXIS,
     dynamic_loss_scale: bool = False,
+    accum_mode: str = "parallel",
+    bn_momentum: float = 0.9,
 ) -> TrainStepFns:
     """Build jitted, mesh-sharded train/eval steps.
 
@@ -174,7 +222,25 @@ def make_step_fns(
     SKIPPED, the scale halves on overflow and doubles after 2000 clean
     steps. scale_state = (scale f32, good_steps i32). bf16 needs none of
     this — the mode exists for reference parity.
+
+    accum_mode selects how the A microbatches of one optimizer step are
+    evaluated: "parallel" (default) evaluates all A at once (flattened
+    front end + vmapped model), "scan" runs them sequentially —
+    bit-for-bit the torch loop's accumulation order. Both reach the same
+    gradients/stats up to float summation order (pinned by
+    tests/test_training.py::TestParallelAccum). Microbatches exist for
+    BatchNorm semantics (per-B-slice statistics), not because the chip
+    wants them sequential — that's a GPU memory workaround — and at the
+    reference's accum 4 x batch 32 config the v5e runs 32-wide matmuls
+    at a third of its 128-wide rate, so parallel is the TPU-native
+    default (measured 10.5 -> 5.0 ms/opt-step on the v5e) with
+    per-microbatch BN kept exact. bn_momentum must match the models'
+    BatchNorm momentum (0.9 — models/cnn.py:54, models/resnet.py:38,86);
+    it reconstructs the sequential running-stats EMA chain in closed
+    form from the vmapped per-microbatch updates.
     """
+    if accum_mode not in ("scan", "parallel"):
+        raise ValueError(f"accum_mode must be scan|parallel, got {accum_mode!r}")
 
     n_dev = mesh.devices.size
     growth_interval = 2000
@@ -239,6 +305,71 @@ def make_step_fns(
         correct = jax.lax.psum(jnp.sum(corrects), axis_name)
         count = jnp.asarray(wavs.shape[0] * local_b * n_dev, jnp.float32)
         return params, batch_stats, grads, losses, correct, count
+
+    def _accumulate_grads_parallel(params, batch_stats, wavs, labels,
+                                   class_weights, key, scale):
+        """accum_mode="parallel": all A microbatches in one shot.
+
+        Exactness contract vs the scan path (pinned by tests/test_training
+        ::TestParallelAccum):
+        - front end: per-example EXACT (features_from_wavs_grouped draws
+          the identical per-example key streams);
+        - gradients: grad(sum_i loss_i / A) == sum_i grad(loss_i)/A by
+          linearity — equal up to float summation order (the scan adds
+          g_i/(A*scale) sequentially);
+        - BatchNorm: train-mode normalization uses the CURRENT microbatch's
+          statistics only (running stats are write-only during training),
+          so vmapping the model over microbatches reproduces each slice's
+          forward exactly; the sequential running-stats EMA
+          s_{i+1} = m*s_i + (1-m)*bs_i is recovered in closed form from
+          the vmapped one-step results r_i = m*base + (1-m)*bs_i as
+          s_A = m^A*base + sum_i m^(A-1-i) * (r_i - m*base).
+        """
+        a, local_b = wavs.shape[0], wavs.shape[1]
+        mask = jnp.ones((local_b,), jnp.float32)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        mb_keys = jax.random.split(key, a)
+        # same per-microbatch split discipline as loss_fn: (k_aug, k_drop)
+        k_aug = jax.vmap(lambda k: jax.random.split(k)[0])(mb_keys)
+        k_drop = jax.vmap(lambda k: jax.random.split(k)[1])(mb_keys)
+
+        def total_loss(p):
+            feats = features_from_wavs_grouped(
+                frontend, wavs, k_aug, augment=augment)
+
+            def one(f, lab, kd):
+                variables = {"params": p, "batch_stats": batch_stats}
+                logits, mutated = model.apply(
+                    variables, f, train=True,
+                    rngs={"dropout": kd}, mutable=["batch_stats"],
+                )
+                num, den = weighted_cross_entropy(logits, lab, class_weights, mask)
+                loss = jax.lax.psum(num, axis_name) / jax.lax.psum(den, axis_name)
+                correct = jnp.sum((jnp.argmax(logits, -1) == lab) * mask)
+                return loss, (mutated["batch_stats"], correct)
+
+            losses, (stats_all, corrects) = jax.vmap(one)(feats, labels, k_drop)
+            return jnp.sum(losses) * (scale / accum_steps), (losses, stats_all, corrects)
+
+        (_, (losses, stats_all, corrects)), grads = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(params)
+        grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
+        grads = jax.lax.pmean(grads, axis_name)  # same reduction as the scan path
+        m_ = jnp.float32(bn_momentum)
+        chain_w = m_ ** jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
+
+        def fold_stats(base, r_all):
+            return (m_ ** a) * base + jnp.tensordot(
+                chain_w, r_all - m_ * base, axes=1)
+
+        batch_stats = jax.tree_util.tree_map(fold_stats, batch_stats, stats_all)
+        correct = jax.lax.psum(jnp.sum(corrects), axis_name)
+        count = jnp.asarray(a * local_b * n_dev, jnp.float32)
+        return params, batch_stats, grads, losses, correct, count
+
+    if accum_mode == "parallel":
+        _accumulate_grads = _accumulate_grads_parallel  # noqa: F811 — mode switch
 
     def _apply(params, opt_state, grads, lr):
         grads, grad_norm = clip_by_global_norm(grads, max_grad_norm)

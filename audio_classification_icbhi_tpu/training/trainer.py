@@ -151,6 +151,14 @@ class Trainer:
             accum_steps=self.accum_steps,
             augment=bool(dcfg.get("augmentation", False)) and getattr(train_dataset, "augment", True),
             dynamic_loss_scale=self.dynamic_loss_scale,
+            # training.accum_mode (extension): "parallel" (default)
+            # evaluates the accum_steps microbatches of one optimizer step
+            # concurrently (flattened front end + vmapped model,
+            # per-microbatch BN kept exact) — same math as the torch-order
+            # sequential "scan" up to float summation order, ~2x step
+            # throughput at the reference's accum 4 x batch 32 config
+            # (data_parallel.py).
+            accum_mode=tcfg.get("accum_mode", "parallel"),
         )
 
         # Parameter/optimizer initialization (one jitted program on the

