@@ -465,41 +465,87 @@ def make_step_fns(
         )
         return params, batch_stats, opt_state, metrics
 
-    def _eval_core(params, batch_stats, wavs, labels, mask, class_weights):
-        """Per-batch eval computation shared by eval_shard and
-        eval_shard_many's scan body, so the fused and per-step validation
-        paths cannot diverge."""
-        loss_unused, (stats_unused, logits, correct) = loss_fn(
-            params, batch_stats, wavs, labels, mask, class_weights,
-            jax.random.PRNGKey(0), False,
+    def _eval_forward(params, batch_stats, wavs):
+        """Eval-mode wav -> logits, shared by EVERY eval path (per-batch
+        eval_shard and grouped eval_shard_many) so they cannot diverge:
+        eval uses running BN stats, so logits are per-example regardless
+        of how many batches share the forward."""
+        feats = features_from_wavs(frontend, wavs, augment=False)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, feats, train=False
         )
+
+    def _eval_core(params, batch_stats, wavs, labels, mask, class_weights):
+        """Per-batch eval computation shared by eval_shard and the
+        Trainer's padded-tail path."""
+        logits = _eval_forward(params, batch_stats, wavs)
         num, den = weighted_cross_entropy(logits, labels, class_weights, mask)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
         num = jax.lax.psum(num, axis_name)
         den = jax.lax.psum(den, axis_name)
         correct = jax.lax.psum(correct, axis_name)
         return logits, num, den, correct
 
-    def eval_shard_many(params, batch_stats, cache, idxs, labels, class_weights):
+    def eval_shard_many(params, batch_stats, cache, idxs, labels, mask,
+                        class_weights):
         """Chunk-of-val-epoch eval in one program (the eval counterpart of
-        train_shard_many). cache: (N, L) replicated waveforms; idxs/labels:
-        (S, b_local) global dataset indices / labels, batch-sharded. Only
-        FULL batches ride this path (mask ≡ 1 — Trainer keeps the padded
-        per-dispatch eval_step for the tail), so per-batch loss sums
-        (num, den) and correct counts come back as (S,) replicated arrays
-        and argmax predictions as (S, b_local), letting the host fetch an
-        entire validation chunk in two RPCs instead of S blocking syncs."""
-        mask = jnp.ones((idxs.shape[1],), jnp.float32)
+        train_shard_many). cache: (N, L) replicated waveforms;
+        idxs/labels/mask: (S, b_local) global dataset indices / labels /
+        row-validity, batch-sharded. mask lets the Trainer pad its tail
+        batch (< batch_size real rows, pad rows repeat index 0 with mask
+        0) so the ENTIRE validation epoch — tail included — runs as one
+        dispatch + one packed fetch; pad rows contribute nothing to
+        (num, den, correct), exactly like eval_shard's pad_eval_batch
+        contract. Per-batch loss sums and correct counts come back as (S,)
+        replicated arrays and argmax predictions as (S, b_local).
+
+        Batches evaluate in GROUPS of G = max(1, 128 // b): eval has no
+        BatchNorm microbatch semantics (running stats are per-example), so
+        G batches flatten into one (G*b)-wide forward — per-example logits
+        identical, per-batch (num, den, correct) recovered by reshaping —
+        keeping the MXU at the inference pipeline's matmul width instead
+        of the config's (reference-parity) batch size. S pads up to a
+        multiple of G with repeated rows, sliced off before returning."""
+        s, b = idxs.shape
+        if s == 0:
+            z = jnp.zeros((0,), jnp.float32)
+            return z, z, z, jnp.zeros((0, b), jnp.int32)
+        g = max(1, 128 // b)
+        padn = (-s) % g
+        if padn:
+            idxs = jnp.concatenate([idxs, jnp.broadcast_to(idxs[:1], (padn, b))])
+            labels = jnp.concatenate(
+                [labels, jnp.broadcast_to(labels[:1], (padn, b))])
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((padn, b), mask.dtype)])
 
         def one(_, xs):
-            idx, lab = xs
-            wavs = dequantize(jnp.take(cache, idx, axis=0))
-            logits, num, den, correct = _eval_core(
-                params, batch_stats, wavs, lab, mask, class_weights
-            )
+            idx, lab, mk = xs  # (g, b) each
+            wavs = dequantize(jnp.take(cache, idx.reshape(-1), axis=0))
+            logits = _eval_forward(params, batch_stats, wavs)
+            logits = logits.reshape((g, b) + logits.shape[1:])
+
+            def batch_sums(lg, lb, lm):
+                num, den = weighted_cross_entropy(lg, lb, class_weights, lm)
+                correct = jnp.sum((jnp.argmax(lg, -1) == lb) * lm)
+                return num, den, correct
+
+            num, den, correct = jax.vmap(batch_sums)(logits, lab, mk)
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+            correct = jax.lax.psum(correct, axis_name)
             return None, (num, den, correct, jnp.argmax(logits, -1).astype(jnp.int32))
 
-        _, (num, den, correct, preds) = jax.lax.scan(one, None, (idxs, labels))
-        return num, den, correct, preds
+        _, (num, den, correct, preds) = jax.lax.scan(
+            one, None,
+            (idxs.reshape(-1, g, b), labels.reshape(-1, g, b),
+             mask.reshape(-1, g, b)),
+        )
+
+        def unpad(x):
+            return x.reshape((-1,) + x.shape[2:])[:s]
+
+        return unpad(num), unpad(den), unpad(correct), unpad(preds)
 
     def eval_shard(params, batch_stats, wavs, labels, mask, class_weights):
         logits, num, den, correct = _eval_core(
@@ -570,7 +616,7 @@ def make_step_fns(
             jax.shard_map(
                 eval_shard_many,
                 mesh=mesh,
-                in_specs=(rep, rep, rep, sb, sb, rep),
+                in_specs=(rep, rep, rep, sb, sb, sb, rep),
                 out_specs=(rep, rep, rep, sb),
                 check_vma=False,
             )

@@ -458,51 +458,61 @@ class Trainer:
         return int(self.config["training"].get("steps_per_dispatch", 0)) != 1
 
     def _validate_fused(self) -> tuple[float, float]:
-        """Full val batches scan on device in eval_many dispatches — one per
-        steps_per_dispatch chunk (0 = the whole epoch in one program, K
-        bounds program size exactly like the train side) — two fetches per
-        chunk; the tail batch keeps the per-step padded path. Loss keeps the
-        reference's mean-of-per-batch-criterion semantics
+        """The WHOLE val epoch — tail batch included via per-row masks —
+        scans on device in eval_many dispatches, one per steps_per_dispatch
+        chunk (0 = the whole epoch in one program, K bounds program size
+        exactly like the train side), with one packed metric fetch per
+        chunk (+ one predictions fetch when collecting). The tail batch
+        pads to batch_size with mask-0 rows inside the same program, so no
+        separate tail dispatch + blocking RPC remains (through the TPU
+        tunnel that pair cost ~45 ms of an ~80 ms validation epoch). Loss
+        keeps the reference's mean-of-per-batch-criterion semantics
         (trainer_fixed.py:224,237), identical to the per-batch path
         (equivalence pinned in tests/test_trainer_e2e.py::
         test_fused_validation_matches_per_batch)."""
         loader = self.val_loader
         batches = loader._batch_indices()  # loader order: full first, tail last
-        full = [i for i in batches if len(i) == self.batch_size]
+        if not batches:
+            if self.collect_predictions:
+                self.val_predictions = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return 0.0, 0.0
+        bsz = self.batch_size
+        rows, row_masks, labs, counts = [], [], [], []
+        for bidx in batches:
+            bidx = np.asarray(bidx)
+            n = len(bidx)
+            m = np.zeros(bsz, np.float32)
+            m[:n] = 1.0
+            if n < bsz:
+                bidx = np.concatenate([bidx, np.zeros(bsz - n, bidx.dtype)])
+            rows.append(bidx)
+            row_masks.append(m)
+            labs.append(loader.labels_all[bidx])  # pad-row labels: masked out
+            counts.append(n)
+        idxs = np.stack(rows).astype(np.int32)  # (S, B)
+        mask = np.stack(row_masks)
+        labels = np.stack(labs).astype(np.int32)
         ratios, corrects = [], []
         total = 0.0
         kept_true, kept_pred = [], []
-        spd = int(self.config["training"].get("steps_per_dispatch", 0)) or len(full)
-        for s in range(0, len(full), max(spd, 1)):
-            idxs = np.stack(full[s:s + spd]).astype(np.int32)  # (k, B)
-            labels = loader.labels_all[idxs]
+        spd = int(self.config["training"].get("steps_per_dispatch", 0)) or len(batches)
+        for s in range(0, len(batches), max(spd, 1)):
+            sl = slice(s, s + spd)
             num, den, corr, preds = self.steps.eval_many(
                 self.params, self.batch_stats, loader.cache,
-                jnp.asarray(idxs), jnp.asarray(labels), self.class_weights,
+                jnp.asarray(idxs[sl]), jnp.asarray(labels[sl]),
+                jnp.asarray(mask[sl]), self.class_weights,
             )
             packed = np.asarray(jnp.stack([num, den, corr]))  # (3, k): one RPC
             ratios += list(packed[0] / np.maximum(packed[1], 1e-12))
             corrects.append(packed[2].sum())
-            total += idxs.size
+            chunk_counts = counts[s:s + spd]
+            total += sum(chunk_counts)
             if self.collect_predictions:
-                kept_true.append(labels.reshape(-1))
-                kept_pred.append(np.asarray(preds).reshape(-1))  # RPC two
-        # tail (< batch_size): the existing padded+masked per-dispatch path
-        for tail_idx in (i for i in batches if len(i) < self.batch_size):
-            wavs = loader._gather(loader.cache, jnp.asarray(tail_idx))
-            wavs, labels, mask, b = self._pad_eval_batch(
-                wavs, loader.labels_all[tail_idx]
-            )
-            logits, num, den, corr = self.steps.eval_step(
-                self.params, self.batch_stats, wavs, labels, mask, self.class_weights
-            )
-            vals = np.asarray(jnp.stack([num, den, corr]))
-            ratios.append(vals[0] / max(vals[1], 1e-12))
-            corrects.append(vals[2])
-            total += b
-            if self.collect_predictions:
-                kept_true.append(labels[:b])
-                kept_pred.append(np.argmax(np.asarray(logits), axis=-1)[:b])
+                pr = np.asarray(preds)  # RPC two
+                for j, n in enumerate(chunk_counts):
+                    kept_true.append(labels[s + j, :n])
+                    kept_pred.append(pr[j, :n])
         if self.collect_predictions:
             self.val_predictions = (
                 np.concatenate(kept_true).astype(np.int64)

@@ -366,11 +366,12 @@ class TestTrainerEndToEnd:
                                        rtol=2e-2, atol=2e-3)
 
     def test_fused_validation_matches_per_batch(self, seg_data, tmp_path):
-        """_validate_fused (whole val epoch scanned in ONE eval_many
-        dispatch + per-step tail) must reproduce the per-batch validate
-        exactly: same mean-of-per-batch-criterion loss, same accuracy,
-        same (y_true, y_pred) — the val fixture (~10 clips, batch 8)
-        exercises both the full-batch scan and the padded tail."""
+        """_validate_fused (the WHOLE val epoch — tail batch mask-padded
+        inside the same program — scanned in ONE eval_many dispatch) must
+        reproduce the per-batch validate exactly: same
+        mean-of-per-batch-criterion loss, same accuracy, same
+        (y_true, y_pred) — the val fixture (~10 clips, batch 8) exercises
+        both the full-batch scan and the mask-padded tail."""
         config = tiny_config(tmp_path, epochs=1)
         config["data"]["cache_on_device"] = True
         train, val = make_datasets(seg_data, config)
@@ -389,7 +390,7 @@ class TestTrainerEndToEnd:
         assert t._use_fused_eval()
         loss_f, acc_f = t.validate(0)
         true_f, pred_f = t.val_predictions
-        assert len(many_calls) == 1  # the whole epoch's full batches: ONE dispatch
+        assert len(many_calls) == 1  # the whole epoch, tail included: ONE dispatch
 
         t.config["training"]["steps_per_dispatch"] = 1
         assert not t._use_fused_eval()
@@ -425,8 +426,8 @@ class TestTrainerEndToEnd:
         assert t._use_fused_eval()
         loss_f, acc_f = t.validate(0)
         true_f, pred_f = t.val_predictions
-        full = sum(1 for b in t.val_loader._batch_indices() if len(b) == 2)
-        assert len(calls) == -(-full // 2)  # ceil(full/K) chunked dispatches
+        nb = len(t.val_loader._batch_indices())  # tail rides eval_many too
+        assert len(calls) == -(-nb // 2)  # ceil(batches/K) chunked dispatches
 
         t.config["training"]["steps_per_dispatch"] = 1
         loss_p, acc_p = t.validate(0)
