@@ -150,6 +150,7 @@ class Trainer:
             model, self.frontend, self.tx, self.mesh,
             accum_steps=self.accum_steps,
             augment=bool(dcfg.get("augmentation", False)) and getattr(train_dataset, "augment", True),
+            max_grad_norm=self._max_grad_norm(),
             dynamic_loss_scale=self.dynamic_loss_scale,
             # training.accum_mode (extension): "parallel" (default)
             # evaluates the accum_steps microbatches of one optimizer step
@@ -183,6 +184,14 @@ class Trainer:
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+
+        # model.pretrained (reference resnet.py:19-26 — torchvision ImageNet
+        # init; always passed pretrained=False by reference train.py:92).
+        # Here it loads a torch state_dict from model.pretrained_path via
+        # models/torch_import.py (no-egress image: weights can't be
+        # downloaded, so the user supplies the .pt file).
+        if self.config["model"].get("pretrained", False):
+            self._load_pretrained()
         self.opt_state = self.tx.init(self.params)
 
         self.checkpoint_dir = Path(tcfg.get("checkpoint_dir", "checkpoints"))
@@ -213,6 +222,50 @@ class Trainer:
         self.start_epoch = 0
 
     # ------------------------------------------------------------------ setup
+
+    def _load_pretrained(self) -> None:
+        """Initialize params/batch_stats from a torch state_dict
+        (model.pretrained + model.pretrained_path). Accepts the reference's
+        trained checkpoints for either architecture, or a plain torchvision
+        resnet18 ImageNet state_dict (3-channel stem folded to 1, head kept
+        at flax init — reference resnet.py:23-39 semantics)."""
+        from audio_classification_icbhi_tpu.models import torch_import
+
+        path = self.config["model"].get("pretrained_path")
+        if not path:
+            raise ValueError(
+                "model.pretrained=true requires model.pretrained_path (a "
+                "torch .pt/.pth state_dict; this environment has no network "
+                "egress to download torchvision weights)")
+        sd = torch_import.load_torch_checkpoint(path)
+        arch = self.config["model"]["architecture"].lower()
+        if arch == "cnn":
+            converted = torch_import.convert_lightweight_cnn(sd)
+        else:
+            converted = torch_import.convert_resnet18(sd, sum_rgb_stem=True)
+
+        def merge(init_tree, new_tree):
+            # keep flax-init leaves for anything the state_dict lacks
+            # (e.g. the head when importing a plain torchvision resnet18)
+            out = dict(init_tree)
+            for k, v in new_tree.items():
+                out[k] = merge(init_tree[k], v) if isinstance(v, dict) and k in out else v
+            return out
+
+        self.params = merge(jax.tree_util.tree_map(np.asarray, self.params),
+                            converted["params"])
+        self.batch_stats = merge(
+            jax.tree_util.tree_map(np.asarray, self.batch_stats),
+            converted.get("batch_stats", {}))
+        n = sum(x.size for x in jax.tree_util.tree_leaves(converted["params"]))
+        print(f"Loaded pretrained weights from {path} ({n:,} params)")
+
+    def _max_grad_norm(self) -> float:
+        """Gradient-clip threshold consumed by the single step build in
+        __init__ (reference trainer_fixed.py clips at 1.0; the legacy loop
+        never clips — LegacyTrainer overrides this to inf instead of
+        rebuilding the jitted steps)."""
+        return 1.0
 
     def _calculate_class_weights(self) -> np.ndarray:
         """Inverse-frequency weights (reference trainer_fixed.py:116-134).

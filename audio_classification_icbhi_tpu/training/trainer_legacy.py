@@ -12,26 +12,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from audio_classification_icbhi_tpu.parallel.data_parallel import make_step_fns
 from audio_classification_icbhi_tpu.training.trainer import Trainer
 
 
 class LegacyTrainer(Trainer):
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        # _calculate_class_weights (below) already made self.class_weights
-        # uniform == plain CrossEntropyLoss (reference trainer.py builds no
-        # weights); rebuild the steps without clipping, preserving the
-        # precision mode (dropping dynamic_loss_scale crashed fp16 runs:
-        # train_epoch's scaled branch fed 9 args to an 8-arg step).
-        self.steps = make_step_fns(
-            self.model, self.frontend, self.tx, self.mesh,
-            accum_steps=self.accum_steps,
-            augment=bool(self.config["data"].get("augmentation", False))
-            and getattr(self.train_dataset, "augment", True),
-            max_grad_norm=float("inf"),  # legacy loop never clips
-            dynamic_loss_scale=self.dynamic_loss_scale,
-        )
+    # _calculate_class_weights (below) makes self.class_weights uniform ==
+    # plain CrossEntropyLoss (reference trainer.py builds no weights), and
+    # _max_grad_norm feeds inf into the base __init__'s single step build
+    # (the legacy loop never clips) — precision/loss-scale modes inherit
+    # unchanged.
+
+    def _max_grad_norm(self) -> float:
+        return float("inf")
 
     def _calculate_class_weights(self) -> np.ndarray:
         num_classes = self.config["model"]["num_classes"]

@@ -126,6 +126,34 @@ class TestTrainerEndToEnd:
         history = trainer.train()
         assert np.isfinite(history["train_loss"][0])
 
+    def test_pretrained_torch_weights_seed_trainer(self, seg_data, tmp_path):
+        """model.pretrained + model.pretrained_path: a torch state_dict
+        (reference resnet.py:19-26 semantics, here the CNN twin from
+        test_torch_import) seeds params/batch_stats before training."""
+        import torch
+
+        from tests.test_torch_import import TorchLightweightCNN
+
+        tmodel = TorchLightweightCNN().eval()
+        torch.save({"model_state_dict": tmodel.state_dict()}, tmp_path / "pre.pt")
+
+        config = tiny_config(tmp_path, epochs=1)
+        config["model"]["pretrained"] = True
+        config["model"]["pretrained_path"] = str(tmp_path / "pre.pt")
+        train, val = make_datasets(seg_data, config)
+        trainer = Trainer(build_model(config, axis_name="data"), train, val, config)
+        want = tmodel.fc2.weight.detach().numpy().T
+        np.testing.assert_allclose(
+            np.asarray(trainer.params["Dense_1"]["kernel"]), want, atol=1e-6)
+        history = trainer.train()
+        assert np.isfinite(history["train_loss"][0])
+
+        # pretrained=true without a path is a clear error (no-egress image)
+        config2 = tiny_config(tmp_path / "b", epochs=1)
+        config2["model"]["pretrained"] = True
+        with pytest.raises(ValueError, match="pretrained_path"):
+            Trainer(build_model(config2, axis_name="data"), train, val, config2)
+
     def test_partial_accum_group_still_trains(self, seg_data, tmp_path):
         """Regression: fewer loader batches than accum_steps must still
         train (found live: the epoch silently yielded zero optimizer steps,
