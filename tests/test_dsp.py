@@ -84,6 +84,27 @@ def np_mel_fb_slaney(sr, n_fft, n_mels):
     return fb
 
 
+def torch_mel_golden(x, sr, n_fft, hop, n_mels):
+    """Cross-LIBRARY full-chain golden: framing / reflect pad / Hann window /
+    FFT from torch.stft in float64 (an independent implementation of exactly
+    the semantics the reference's torchaudio chain sits on,
+    src/data/preprocessing.py:38-47), composed with the in-test HTK
+    filterbank derivation and dB in numpy. A shared-derivation bug in the
+    numpy STFT golden cannot hide here."""
+    spec = torch.stft(
+        torch.from_numpy(np.asarray(x, np.float64)),
+        n_fft=n_fft,
+        hop_length=hop,
+        window=torch.hann_window(n_fft, dtype=torch.float64),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )
+    power = (spec.abs() ** 2).numpy()  # (n_bins, T)
+    mel = np_mel_fb_htk(sr, n_fft, n_mels).T @ power
+    return 10.0 * np.log10(np.maximum(mel, 1e-10))
+
+
 def make_signal(rng, length=16000, sr=16000):
     """Respiratory-ish test signal: tones + filtered noise + crackle bursts."""
     t = np.arange(length) / sr
@@ -225,6 +246,36 @@ class TestLogMelEndToEnd:
         want = 10 * np.log10(np.maximum(mel, 1e-10)) - 10 * np.log10(mel.max())
         want = np.maximum(want, want.max() - 80)
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    def test_fft_path_vs_torch_stft_golden(self, rng):
+        """Cross-library pin (VERDICT r3 #2): the default XLA FFT path within
+        the 1e-3 production budget of a torch.stft-composed mel chain."""
+        x = make_signal(rng, length=SR * 5)
+        got = np.asarray(
+            ops.log_mel_spectrogram(jnp.asarray(x), SR, N_FFT, HOP, N_MELS)
+        )
+        want = torch_mel_golden(x, SR, N_FFT, HOP, N_MELS)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    def test_matmul_dft_path_vs_torch_stft_golden(self, rng):
+        x = make_signal(rng, length=SR * 5)
+        got = np.asarray(
+            ops.log_mel_spectrogram(
+                jnp.asarray(x), SR, N_FFT, HOP, N_MELS, use_matmul_dft=True
+            )
+        )
+        want = torch_mel_golden(x, SR, N_FFT, HOP, N_MELS)
+        # CPU matmul-DFT accumulates in f32 over n_fft-long dots
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+    def test_xla_radix2_frontend_vs_torch_stft_golden(self, rng):
+        """The production XLA fallback (MelFrontend backend=auto off-TPU
+        routes to the radix-2 decomposition) against the torch golden."""
+        fe = mel_ops.MelFrontend(duration=5.0, normalize=False, backend="xla_radix2")
+        x = make_signal(rng, length=SR * 5)
+        got = np.asarray(fe(jnp.asarray(x)[None]))[0]
+        want = torch_mel_golden(x, SR, N_FFT, HOP, N_MELS)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
 
     def test_frontend_normalize_and_shapes(self, rng):
         fe = mel_ops.MelFrontend(duration=5.0)

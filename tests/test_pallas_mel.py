@@ -370,6 +370,35 @@ class TestPallasMel:
             log_mel_pallas(wav, SR, 1024, 256, N_MELS,
                            algorithm="radix16dif_fused", interpret=True)
 
+    @pytest.mark.parametrize("algorithm,atol", [
+        ("f32", 1e-3),
+        ("bf16x3", 2e-3),
+        ("radix2", 1e-3),
+        ("radix2_fused", 1e-3),
+        ("radix4_fused", 1.5e-3),
+        ("radix4dif_fused", 1e-3),
+        # deeper decimation concentrates more signal per bf16-split sample;
+        # same measured unrestricted floors as the xla_ref-based budget
+        # tests above (the production budget is judged on the 25 dB active
+        # region — PARITY_r03.json)
+        ("radix8dif_fused", 1.5e-3),
+        ("radix16dif_fused", 1.5e-3),
+    ])
+    def test_vs_torch_stft_cross_library_golden(self, wav, algorithm, atol):
+        """Cross-LIBRARY pin (VERDICT r3 #2): every kernel algorithm against
+        a torch.stft-composed f64 mel chain (tests.test_dsp.torch_mel_golden
+        — framing/reflect-pad/Hann/FFT from torch, an implementation fully
+        independent of both our XLA path and the numpy goldens)."""
+        from tests.test_dsp import torch_mel_golden
+
+        got = np.asarray(
+            log_mel_pallas(jnp.asarray(wav), SR, N_FFT, HOP, N_MELS,
+                           algorithm=algorithm, interpret=True)
+        )
+        want = np.stack([torch_mel_golden(w, SR, N_FFT, HOP, N_MELS)
+                         for w in wav])
+        np.testing.assert_allclose(got, want, atol=atol)
+
     @pytest.mark.parametrize("algorithm", ["radix4_fused", "radix2_fused",
                                            "radix4dif_fused",
                                            "radix8dif_fused",
