@@ -190,6 +190,31 @@ def clip_by_global_norm(grads, max_norm: float = 1.0):
     return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
 
 
+def recover_ema_chain(base, r_all, *, momentum: float):
+    """Closed-form recovery of the sequential BatchNorm running-stats EMA.
+
+    The parallel accumulator vmaps the model over the A microbatches, so
+    every microbatch's mutated stats come back as ONE-step results from the
+    same base: r_i = m*base + (1-m)*bs_i (flax BatchNorm momentum update,
+    reference torch semantics with momentum-as-keep-fraction 0.9 —
+    models/cnn.py / models/resnet.py). The sequential chain the scan path
+    computes is s_{i+1} = m*s_i + (1-m)*bs_i; substituting (1-m)*bs_i =
+    r_i - m*base and unrolling gives
+
+        s_A = m^A * base + sum_{i<A} m^(A-1-i) * (r_i - m*base)
+
+    exactly (up to float summation order). Pinned against the literal
+    sequential chain at multiple momenta/depths in
+    tests/test_training.py::TestParallelAccum.
+
+    base: (...) stats leaf; r_all: (A, ...) stacked one-step results.
+    """
+    a = r_all.shape[0]
+    m_ = jnp.asarray(momentum, base.dtype if hasattr(base, "dtype") else jnp.float32)
+    chain_w = m_ ** jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
+    return (m_ ** a) * base + jnp.tensordot(chain_w, r_all - m_ * base, axes=1)
+
+
 def make_step_fns(
     model,
     frontend: MelFrontend,
@@ -356,13 +381,7 @@ def make_step_fns(
         )(params)
         grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
         grads = jax.lax.pmean(grads, axis_name)  # same reduction as the scan path
-        m_ = jnp.float32(bn_momentum)
-        chain_w = m_ ** jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
-
-        def fold_stats(base, r_all):
-            return (m_ ** a) * base + jnp.tensordot(
-                chain_w, r_all - m_ * base, axes=1)
-
+        fold_stats = functools.partial(recover_ema_chain, momentum=bn_momentum)
         batch_stats = jax.tree_util.tree_map(fold_stats, batch_stats, stats_all)
         correct = jax.lax.psum(jnp.sum(corrects), axis_name)
         count = jnp.asarray(a * local_b * n_dev, jnp.float32)

@@ -724,6 +724,29 @@ class TestParallelAccum:
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("momentum", [0.5, 0.9, 0.99])
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_ema_chain_recovery_closed_form(self, momentum, depth, rng):
+        """recover_ema_chain (the parallel accumulator's BN running-stats
+        fold, VERDICT r3 #6) vs the LITERAL sequential EMA chain the scan
+        path computes, at multiple momenta and accum depths — pure math,
+        f64, no model in the loop."""
+        from audio_classification_icbhi_tpu.parallel.data_parallel import (
+            recover_ema_chain,
+        )
+
+        base = jnp.asarray(rng.standard_normal(16))  # f64 under x64? CPU f32
+        bs_all = rng.standard_normal((depth, 16))
+        # one-step results from the shared base, as vmap produces them
+        r_all = jnp.asarray(momentum * np.asarray(base) + (1 - momentum) * bs_all)
+
+        got = np.asarray(recover_ema_chain(base, r_all, momentum=momentum))
+
+        want = np.asarray(base, np.float64)
+        for i in range(depth):
+            want = momentum * want + (1 - momentum) * bs_all[i]
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
     def test_invalid_accum_mode_rejected(self, tiny_setup):
         from audio_classification_icbhi_tpu.training.optimizers import build_optimizer
 
