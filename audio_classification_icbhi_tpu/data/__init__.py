@@ -24,6 +24,7 @@ from audio_classification_icbhi_tpu.data.dataset_segmented import (  # noqa: F40
 from audio_classification_icbhi_tpu.data.loader import BatchLoader  # noqa: F401
 from audio_classification_icbhi_tpu.data.segmenter import ICBHISegmenter  # noqa: F401
 from audio_classification_icbhi_tpu.data.synthetic import (  # noqa: F401
+    generate_icbhi_corpus_fixture,
     generate_icbhi_dataset,
     generate_segmented_dataset,
     synth_respiratory_cycle,
