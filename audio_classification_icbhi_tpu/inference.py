@@ -79,6 +79,58 @@ class ClassifierEngine:
 
         return probs_fn
 
+    @functools.cached_property
+    def _packed1_fn(self):
+        """Latency mode: a pre-compiled BATCH-1 wav -> packed
+        [probs_0..probs_{C-1}, argmax] program.
+
+        A synchronous single-clip call costs one dispatch plus one
+        device->host fetch; on remote/tunneled devices the per-RPC
+        round-trip dominates the sub-millisecond compute (see
+        benchmarks/headline_bench.py's decomposition), so the argmax is
+        computed ON DEVICE and packed into the same (C+1,) array as the
+        probabilities — exactly one small fetch per classification.
+        Matches the reference's per-sample inference claim surface
+        (reference README.md:159,178, cli.py:44-66).
+        """
+        model, frontend = self.model, self.frontend
+        params, batch_stats = self.params, self.batch_stats
+
+        @jax.jit
+        def packed1(wav):  # (target_length,)
+            feats = features_from_wavs(frontend, wav[None])
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, feats, train=False
+            )
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+            arg = jnp.argmax(probs).astype(probs.dtype)
+            return jnp.concatenate([probs, arg[None]])
+
+        return packed1
+
+    def warmup_latency(self) -> None:
+        """Compile + warm the batch-1 latency program (call before serving;
+        twice, because feeding a device-resident input after the first call
+        can trigger one more layout specialization)."""
+        zero = np.zeros((self.frontend.target_length,), np.float32)
+        for _ in range(2):
+            self.classify_wave(zero)
+
+    def classify_wave(self, wav: np.ndarray) -> dict:
+        """Low-latency single-clip classify: `wav` is a (target_length,)
+        float32 waveform at the config sample rate (decode/resample with
+        classify_file when starting from a file). One pre-compiled program,
+        one packed fetch; same result schema as classify_file."""
+        packed = np.asarray(self._packed1_fn(jnp.asarray(wav, jnp.float32)))
+        probs, pred = packed[:-1], int(packed[-1])
+        return {
+            "predicted_class": self.class_names[pred],
+            "confidence": float(probs[pred]),
+            "probabilities": {
+                self.class_names[i]: float(probs[i]) for i in range(len(self.class_names))
+            },
+        }
+
     def predict_probs(self, wavs: np.ndarray) -> np.ndarray:
         """(B, target_length) waveforms -> (B, C) probabilities; pads the
         batch to self.batch_size so the graph compiles once."""
@@ -99,18 +151,11 @@ class ClassifierEngine:
         return wavio.pad_or_crop(wav, self.frontend.target_length).astype(np.float32)
 
     def classify_file(self, audio_path: str | Path) -> dict:
-        """Single-file result dict, same schema as reference cli.py:44-66."""
+        """Single-file result dict, same schema as reference cli.py:44-66.
+        Routes through the batch-1 latency program — a lone clip should not
+        pay for a padded batch_size-wide dispatch."""
         wav = self._load_clip(audio_path)
-        probs = self.predict_probs(wav[None])[0]
-        pred = int(np.argmax(probs))
-        return {
-            "audio_path": str(audio_path),
-            "predicted_class": self.class_names[pred],
-            "confidence": float(probs[pred]),
-            "probabilities": {
-                self.class_names[i]: float(probs[i]) for i in range(len(self.class_names))
-            },
-        }
+        return {"audio_path": str(audio_path), **self.classify_wave(wav)}
 
     def classify_files(self, audio_paths: list) -> list[dict]:
         """True batched multi-file classification (the reference's

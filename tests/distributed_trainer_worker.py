@@ -84,12 +84,15 @@ def run_validator(trainer, config):
 def main() -> None:
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     data_root, out_dir, out_npz = sys.argv[4], sys.argv[5], sys.argv[6]
+    # devices per process (default 4 -> the 2-process global-8 layout;
+    # the 4-process variant passes 2 for the same 8-device global mesh)
+    devs = int(sys.argv[7]) if len(sys.argv) > 7 else 4
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
-    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_num_cpu_devices", devs)
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     from audio_classification_icbhi_tpu.parallel.mesh import init_distributed
@@ -98,7 +101,7 @@ def main() -> None:
         coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
     )
     assert idx == pid and jax.process_count() == nproc
-    assert jax.device_count() == 4 * nproc
+    assert jax.device_count() == devs * nproc
 
     import numpy as np
 

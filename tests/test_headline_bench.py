@@ -47,6 +47,11 @@ def test_write_report_renders_and_rounds(tmp_path, monkeypatch):
                      "s_per_epoch": 0.9, "ms_per_step": 18.4,
                      "final_val_acc_pct": 83.0, "best_val_loss": 0.41},
         "latency": {"batch1_e2e_ms_median": 51.2, "batch1_e2e_ms_p10": 47.5,
+                    "sync_rpc_floor_ms_median": 50.0,
+                    "batch1_onchip_ms": 0.0625,
+                    "dispatch_pipelined_ms": 0.5,
+                    "local_sync_floor_ms_median": 0.007,
+                    "batch1_colocated_est_ms": 0.07,
                     "batch128_clips_per_sec": 58000.0,
                     "batch128_amortized_ms_per_clip": 0.0172},
         "memory": {"train_step": {}, "inference_batch128": {},
@@ -62,8 +67,10 @@ def test_write_report_renders_and_rounds(tmp_path, monkeypatch):
     # training speedup ratios: 2.5 h / 225 s cold = 40x, / 90 s warm = 100x
     assert "**225 s** cold / **90 s** warm" in md
     assert "**40x / 100x**" in md
-    # amortized latency ratio = 10 ms / 0.0172 ms = 581x
-    assert "581x amortized" in md
+    # on-chip latency ratio = 10 ms / 0.0625 ms = 160x, decomposition shown
+    assert "160x on-chip" in md
+    assert "0.0625 ms on-chip" in md
+    assert "zero-work RPC floor is 50.0 ms" in md
     assert "0.11 GB" in md and "< 3.5 GB" in md
     round_trip = json.loads((tmp_path / "headline_results.json").read_text())
     assert round_trip == results

@@ -74,6 +74,20 @@ class TestClassifierEngine:
                 res["probabilities"], key=res["probabilities"].get
             )
 
+    def test_latency_mode_matches_batch_path(self, ckpt, rng):
+        """classify_wave (pre-compiled batch-1 packed program, VERDICT r3
+        #1) must agree with the padded-batch path on probs AND argmax."""
+        eng = ClassifierEngine(ckpt)
+        eng.warmup_latency()
+        wavs = rng.standard_normal((3, 4000)).astype(np.float32)
+        batch = eng.predict_probs(wavs)
+        for i in range(3):
+            res = eng.classify_wave(wavs[i])
+            probs = np.asarray([res["probabilities"][c] for c in eng.class_names])
+            np.testing.assert_allclose(probs, batch[i], atol=2e-5)
+            assert res["predicted_class"] == eng.class_names[int(np.argmax(batch[i]))]
+            assert res["confidence"] == pytest.approx(float(probs.max()), abs=1e-6)
+
     def test_classify_files_skips_bad(self, ckpt, tmp_path, rng):
         """Per-file skip-and-continue (reference cli.py:141-145)."""
         eng = ClassifierEngine(ckpt)
