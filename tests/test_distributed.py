@@ -132,17 +132,11 @@ def test_two_process_train_step(tmp_path):
         np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=2e-4, atol=1e-6)
 
 
-def test_two_process_full_trainer(tmp_path):
-    """The COMPLETE Trainer.train() loop across a real process boundary:
-    two jax.distributed processes run loader -> multihost batch placement
-    (_global_train_group/_global_eval_batch contribute per-process
-    local_batch_slice rows) -> sharded train/eval -> scheduler ->
-    process-0-gated checkpoints, on a shared synthetic dataset. Final
-    params AND per-epoch loss history must match a single-process
-    8-device Trainer run of the identical config — upgrading the
-    multi-host story from 'step fns proven' to 'Trainer proven'."""
-    import numpy as np
-
+def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path):
+    """Launch nproc distributed_trainer_worker processes with
+    devs_per_proc virtual CPU devices each (a global nproc*devs mesh),
+    sharing one synthetic dataset and checkpoint dir; returns the npz
+    process 0 wrote."""
     from audio_classification_icbhi_tpu.data.synthetic import (
         generate_segmented_dataset,
     )
@@ -156,15 +150,17 @@ def test_two_process_full_trainer(tmp_path):
     out = tmp_path / "trainer.npz"
     worker = os.path.join(REPO, "tests", "distributed_trainer_worker.py")
     env = dict(os.environ)
+    # repo on the path for the worker script — APPENDED to the ambient
+    # PYTHONPATH (clobbering it would kill the axon site plugin, CLAUDE.md)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), "2",
-             str(data_root), str(tmp_path), str(out)],
+            [sys.executable, worker, str(port), str(pid), str(nproc),
+             str(data_root), str(tmp_path), str(out), str(devs_per_proc)],
             cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     try:
         for pid, proc in enumerate(procs):
@@ -177,6 +173,21 @@ def test_two_process_full_trainer(tmp_path):
                 proc.kill()
     assert out.exists()
     assert (tmp_path / "ckpts" / "best_model.ckpt").exists()  # process 0 wrote
+    return data_root, out
+
+
+def test_two_process_full_trainer(tmp_path):
+    """The COMPLETE Trainer.train() loop across a real process boundary:
+    two jax.distributed processes run loader -> multihost batch placement
+    (_global_train_group/_global_eval_batch contribute per-process
+    local_batch_slice rows) -> sharded train/eval -> scheduler ->
+    process-0-gated checkpoints, on a shared synthetic dataset. Final
+    params AND per-epoch loss history must match a single-process
+    8-device Trainer run of the identical config — upgrading the
+    multi-host story from 'step fns proven' to 'Trainer proven'."""
+    import numpy as np
+
+    data_root, out = _run_full_trainer_procs(2, 4, tmp_path)
 
     # single-process reference: the SAME Trainer config on this test
     # process's own 8-device mesh
@@ -211,6 +222,26 @@ def test_two_process_full_trainer(tmp_path):
     np.testing.assert_array_equal(got["y_true"], ref_true)
     np.testing.assert_array_equal(got["y_pred"], ref_pred)
     np.testing.assert_allclose(got["y_prob"], ref_prob, rtol=2e-3, atol=1e-4)
+
+
+def test_four_process_full_trainer(tmp_path):
+    """4-process variant (VERDICT r3 #7): the same full Trainer.train()
+    loop with FOUR jax.distributed processes of 2 devices each — the same
+    global 8-device mesh, so the per-epoch loss history must match a
+    single-process 8-device run at the same tolerance as the 2-process
+    test. Exercises 4-way gloo collectives and batch placement where each
+    process contributes a 2-row local_batch_slice."""
+    import numpy as np
+
+    data_root, out = _run_full_trainer_procs(4, 2, tmp_path)
+
+    from tests.distributed_trainer_worker import build_config, run_trainer
+
+    ref_cfg = build_config(str(data_root), str(tmp_path / "ref"), 0)
+    _ref_t, ref_hist = run_trainer(ref_cfg)
+    got = np.load(out)
+    np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)
 
 
 def test_coordinator_bringup_subprocess():
