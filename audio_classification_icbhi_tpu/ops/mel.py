@@ -385,6 +385,12 @@ class MelFrontend:
         # outside the 1e-3 production budget — see test_pallas_mel).
         # Eligibility is NOT re-checked beyond the kernel's own asserts.
         pallas_algorithm: str | None = None,
+        # None = per-algorithm default (4 for the radix-8/16 DIF kernels,
+        # 3 elsewhere). 6 selects the 3-way hi/mid/lo split with
+        # f32-equivalent DFT accuracy (~4.6e-4 dB unrestricted, no
+        # active-region qualifier) at +50% DFT MXU work — measured trade
+        # in PARITY.md (VERDICT r3 #4).
+        dft_passes: int | None = None,
     ):
         self.sample_rate = sample_rate
         self.n_mels = n_mels
@@ -403,6 +409,7 @@ class MelFrontend:
         self.normalize = normalize
         self.backend = backend
         self.pallas_algorithm = pallas_algorithm
+        self.dft_passes = dft_passes
 
     @classmethod
     def from_config(cls, config: dict, **overrides) -> "MelFrontend":
@@ -555,6 +562,7 @@ class MelFrontend:
             algorithm=self._pallas_algorithm(),
             normalize=normalize,
             spec_mask_bounds=spec_mask_bounds,
+            dft_passes=self.dft_passes,
         )
 
     def __call__(self, waveform: jax.Array) -> jax.Array:

@@ -62,6 +62,10 @@ def measure(fn, inputs, batch: int) -> float:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=str, default=None,
+                    help="Comma list (e.g. 128,512,1024): per-stage "
+                         "retention table attributing where large-batch "
+                         "throughput goes (VERDICT r3 #3)")
     ap.add_argument("--backend", type=str, default="auto")
     ap.add_argument("--algorithm", type=str, default=None,
                     help="Force a Pallas kernel (e.g. radix8dif_fused); "
@@ -99,17 +103,50 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    wavs = [
-        jnp.asarray(rng.standard_normal((args.batch, frontend.target_length)).astype(np.float32) * 0.1)
-        for _ in range(4)
-    ]
-    mels = [mel_fn(w) for w in wavs]
-    jax.block_until_ready(mels)
 
-    rows = {}
-    for name, fn, inp in (("mel", mel_fn, wavs), ("cnn", cnn_fn, mels), ("full", full_fn, wavs)):
-        cps = measure(fn, inp, args.batch)
-        rows[name] = cps
+    def stage_rows(batch: int) -> dict[str, float]:
+        wavs = [
+            jnp.asarray(rng.standard_normal(
+                (batch, frontend.target_length)).astype(np.float32) * 0.1)
+            for _ in range(4)
+        ]
+        mels = [mel_fn(w) for w in wavs]
+        jax.block_until_ready(mels)
+        return {
+            name: measure(fn, inp, batch)
+            for name, fn, inp in (
+                ("mel", mel_fn, wavs), ("cnn", cnn_fn, mels),
+                ("full", full_fn, wavs),
+            )
+        }
+
+    if args.batches:
+        batches = [int(b) for b in args.batches.split(",")]
+        table = {b: stage_rows(b) for b in batches}
+        base = table[batches[0]]
+        print(f"\nper-stage retention vs batch {batches[0]} "
+              f"(backend={args.backend}):")
+        print(f"{'batch':>6s} " + "".join(
+            f"{s + ' clips/s':>16s} {'ret%':>6s}" for s in ("mel", "cnn", "full")))
+        for b in batches:
+            row = table[b]
+            print(f"{b:6d} " + "".join(
+                f"{row[s]:16,.0f} {100 * row[s] / base[s]:5.1f}%"
+                for s in ("mel", "cnn", "full")))
+        # attribution: how much of full's lost ms/clip each stage explains
+        for b in batches[1:]:
+            d_full = 1e3 / table[b]["full"] - 1e3 / base["full"]
+            d_mel = 1e3 / table[b]["mel"] - 1e3 / base["mel"]
+            d_cnn = 1e3 / table[b]["cnn"] - 1e3 / base["cnn"]
+            resid = d_full - d_mel - d_cnn
+            print(f"batch {b}: full loses {d_full * 1e3:+.2f} us/clip vs "
+                  f"{batches[0]} — mel {d_mel * 1e3:+.2f}, cnn {d_cnn * 1e3:+.2f}, "
+                  f"residual (fusion/dispatch) {resid * 1e3:+.2f}")
+        return
+
+    rows = stage_rows(args.batch)
+    for name in ("mel", "cnn", "full"):
+        cps = rows[name]
         print(f"{name:5s} {cps:10,.0f} clips/s   {1e3 * args.batch / cps:7.3f} ms/batch")
     fused_ms = 1e3 * args.batch / rows["full"]
     sum_ms = 1e3 * args.batch * (1 / rows["mel"] + 1 / rows["cnn"])
