@@ -109,12 +109,15 @@ class ClassifierEngine:
         return packed1
 
     def warmup_latency(self) -> None:
-        """Compile + warm the batch-1 latency program (call before serving;
-        twice, because feeding a device-resident input after the first call
-        can trigger one more layout specialization)."""
+        """Compile + warm the batch-1 latency program (call before serving).
+        Warms BOTH input placements a server can present: a host numpy
+        array (first call — the compile), then a committed device-resident
+        array (a device input can carry a different layout than the
+        host-transfer path and trigger one more one-time specialization,
+        which a latency-sensitive first request must not pay)."""
         zero = np.zeros((self.frontend.target_length,), np.float32)
-        for _ in range(2):
-            self.classify_wave(zero)
+        self.classify_wave(zero)
+        self.classify_wave(jax.device_put(jnp.asarray(zero)))
 
     def classify_wave(self, wav: np.ndarray) -> dict:
         """Low-latency single-clip classify: `wav` is a (target_length,)

@@ -410,6 +410,29 @@ class MelFrontend:
         self.backend = backend
         self.pallas_algorithm = pallas_algorithm
         self.dft_passes = dft_passes
+        # Validate the accuracy opt-in HERE, not at trace time deep inside
+        # the kernel dispatcher: a mis-shaped dft_passes=6 request must fail
+        # with the frontend's own contract, and the XLA backends (which run
+        # their own fixed bf16x3/radix-2 decompositions) must not silently
+        # drop it. On backend="auto" the knob applies whenever the Pallas
+        # path engages (real TPU); on CPU auto falls back to XLA and the
+        # knob is inert — the Pallas accuracy modes are TPU-kernel options.
+        if dft_passes is not None:
+            if dft_passes not in (3, 4, 6):
+                raise ValueError(
+                    f"dft_passes must be 3 or 4 (2-way bf16 split) or 6 "
+                    f"(3-way hi/mid/lo split), got {dft_passes}")
+            if backend in ("xla", "xla_radix2"):
+                raise ValueError(
+                    f"dft_passes selects a Pallas kernel decomposition; "
+                    f"backend={backend!r} never runs the Pallas kernels")
+            if dft_passes == 6:
+                alg = self._pallas_algorithm()
+                if alg not in ("radix8dif_fused", "radix16dif_fused"):
+                    raise ValueError(
+                        f"dft_passes=6 (3-way split constants) requires the "
+                        f"radix-8/16 DIF kernels; this shape selects {alg!r} "
+                        f"(need n_fft % 1024 == 0 and hop_length % 128 == 0)")
 
     @classmethod
     def from_config(cls, config: dict, **overrides) -> "MelFrontend":

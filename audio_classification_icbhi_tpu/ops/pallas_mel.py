@@ -1692,7 +1692,13 @@ def log_mel_pallas(
         raise ValueError("spec_mask_bounds requires a fused algorithm")
     if dft_passes is None:
         dft_passes = 4 if algorithm in ("radix8dif_fused", "radix16dif_fused") else 3
-    elif dft_passes >= 6 and algorithm not in ("radix8dif_fused",
+    elif dft_passes not in (3, 4, 6):
+        # _dot_parts implements exactly these budgets; 5 would silently run
+        # the 3-pass 2-way product (WEAKER than the default it tried to beat)
+        raise ValueError(
+            f"dft_passes must be 3 or 4 (2-way bf16 split) or 6 (3-way "
+            f"hi/mid/lo split), got {dft_passes}")
+    elif dft_passes == 6 and algorithm not in ("radix8dif_fused",
                                                "radix16dif_fused"):
         # the 3-way-split constants exist only for the DIF production
         # kernels; elsewhere 6 would silently degrade to a 3-pass 2-way run

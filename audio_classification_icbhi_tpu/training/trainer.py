@@ -633,6 +633,79 @@ class Trainer:
     def _is_improvement(self, metric: float) -> bool:
         return metric < self.best_val_loss
 
+    def precompile(self, barrier_timeout_s: float = 600.0) -> None:
+        """Compile-ahead: trace + compile the per-step programs the first
+        epoch will run WITHOUT executing them, then (multi-process) hold
+        every process at a coordination-service barrier until all have.
+
+        Why: a jitted collective program's first dispatch compiles AND
+        executes. Across hosts, compile time varies (persistent-cache
+        hits vs misses, host contention), so fast hosts enter the
+        program's FIRST collective while stragglers still compile. XLA's
+        gloo CPU transport forms each executable's communicator clique at
+        first execution inside a fixed ~30 s rendezvous window, so >30 s
+        of compile skew is fatal (observed: the 4-process full-Trainer
+        test dying with "Gloo context initialization failed:
+        DEADLINE_EXCEEDED"); on a TPU pod the same skew just burns
+        chip-seconds in the collective. Compiling ahead writes the
+        executables into the persistent compilation cache
+        (ensure_compile_cache, on by default) so the jit call path hits
+        it, and the barrier rides the coordination service — NOT the
+        collective fabric — so it tolerates arbitrary skew.
+
+        train() calls this automatically under multi-process meshes.
+        Single-process callers may use it for fail-fast compilation.
+        Scope: the per-step (non-fused) programs — the only ones a
+        multi-process Trainer runs (the fused dispatch paths are
+        single-controller and disable themselves under multi-host).
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        B = self.batch_size
+        L = self.frontend.target_length
+        lab_dtype = np.int32  # BatchLoader contract: (B, L) f32, (B,) i32
+        a = self.accum_steps
+        s_total = len(self.train_dataset) // B  # loader drops partial batches
+        lr = np.float32(self.scheduler.lr)
+        key = self._replicated_key(
+            jax.random.fold_in(jax.random.fold_in(self.train_key, 0), 0))
+
+        def lower_train(group):
+            wavs = np.zeros((group, B, L), np.float32)
+            labels = np.zeros((group, B), lab_dtype)
+            if self._multiprocess:
+                wavs, labels = self._global_train_group(wavs, labels)
+            args = (self.params, self.batch_stats, self.opt_state,
+                    wavs, labels, self.class_weights, lr, key)
+            if self.dynamic_loss_scale:
+                args = args + (self.scale_state,)
+            self.steps.train_step.lower(*args).compile()
+
+        groups, tail = s_total // a, s_total % a
+        if groups:
+            lower_train(a)
+        if tail:
+            lower_train(tail)  # the partial tail group is its own shape
+
+        ewavs, elabels, emask = self._global_eval_batch(
+            np.zeros((B, L), np.float32), np.zeros((B,), lab_dtype),
+            np.zeros((B,), np.float32))
+        self.steps.eval_step.lower(
+            self.params, self.batch_stats, ewavs, elabels, emask,
+            self.class_weights).compile()
+        print(f"precompile: step programs compiled in "
+              f"{_time.perf_counter() - t0:.1f}s")
+
+        if self._multiprocess:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier(
+                    "trainer-precompile", timeout_in_ms=int(barrier_timeout_s * 1000))
+                print("precompile: all processes compiled (barrier passed)")
+
     def train(self, resume_from: str | None = None, profile_dir: str | None = None) -> dict:
         """profile_dir enables a jax.profiler trace of the first trained
         epoch (TensorBoard-viewable) — the tracing subsystem the reference
@@ -645,6 +718,11 @@ class Trainer:
         print(f"Devices: {self.mesh.devices.size}x {jax.devices()[0].platform}")
         print(f"Batch size: {self.batch_size} (grad accum {self.accum_steps})")
         print(f"Learning rate: {self.learning_rate}")
+
+        if self._multiprocess:
+            # compile-ahead + cross-process barrier: keeps every process's
+            # first collective aligned (see precompile's docstring)
+            self.precompile()
 
         try:
             self._train_loop(profile_dir)

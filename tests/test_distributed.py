@@ -12,6 +12,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 from audio_classification_icbhi_tpu.parallel.mesh import init_distributed, local_batch_slice
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -132,18 +134,40 @@ def test_two_process_train_step(tmp_path):
         np.testing.assert_allclose(got[f"leaf{i}"], ref, rtol=2e-4, atol=1e-6)
 
 
-def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path):
-    """Launch nproc distributed_trainer_worker processes with
-    devs_per_proc virtual CPU devices each (a global nproc*devs mesh),
-    sharing one synthetic dataset and checkpoint dir; returns the npz
-    process 0 wrote."""
+@pytest.fixture(scope="module")
+def trainer_data_root(tmp_path_factory):
+    """One synthetic dataset shared by both full-Trainer tests (the
+    generator is deterministic, so per-test regeneration was pure cost on
+    the 1-core suite host)."""
     from audio_classification_icbhi_tpu.data.synthetic import (
         generate_segmented_dataset,
     )
 
-    data_root = generate_segmented_dataset(
-        tmp_path / "seg", per_class=8, duration=0.8, sample_rate=4000
+    return generate_segmented_dataset(
+        tmp_path_factory.mktemp("trainer_data") / "seg",
+        per_class=8, duration=0.8, sample_rate=4000,
     )
+
+
+@pytest.fixture(scope="module")
+def reference_run(trainer_data_root, tmp_path_factory):
+    """The single-process 8-device reference Trainer run both
+    distributed tests compare against — computed ONCE (it is a full
+    Trainer.train() and was previously re-run per test)."""
+    from tests.distributed_trainer_worker import build_config, run_trainer
+
+    ref_cfg = build_config(
+        str(trainer_data_root), str(tmp_path_factory.mktemp("ref")), 0)
+    ref_t, ref_hist = run_trainer(ref_cfg)
+    return ref_cfg, ref_t, ref_hist
+
+
+def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path,
+                            data_root):
+    """Launch nproc distributed_trainer_worker processes with
+    devs_per_proc virtual CPU devices each (a global nproc*devs mesh),
+    sharing one synthetic dataset and checkpoint dir; returns the npz
+    process 0 wrote."""
     with socket.socket() as sk:
         sk.bind(("127.0.0.1", 0))
         port = sk.getsockname()[1]
@@ -173,10 +197,10 @@ def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path):
                 proc.kill()
     assert out.exists()
     assert (tmp_path / "ckpts" / "best_model.ckpt").exists()  # process 0 wrote
-    return data_root, out
+    return out
 
 
-def test_two_process_full_trainer(tmp_path):
+def test_two_process_full_trainer(tmp_path, trainer_data_root, reference_run):
     """The COMPLETE Trainer.train() loop across a real process boundary:
     two jax.distributed processes run loader -> multihost batch placement
     (_global_train_group/_global_eval_batch contribute per-process
@@ -187,18 +211,14 @@ def test_two_process_full_trainer(tmp_path):
     multi-host story from 'step fns proven' to 'Trainer proven'."""
     import numpy as np
 
-    data_root, out = _run_full_trainer_procs(2, 4, tmp_path)
+    out = _run_full_trainer_procs(2, 4, tmp_path, trainer_data_root)
 
     # single-process reference: the SAME Trainer config on this test
-    # process's own 8-device mesh
-    from tests.distributed_trainer_worker import (
-        build_config,
-        run_trainer,
-        run_validator,
-    )
+    # process's own 8-device mesh (module-scoped, shared with the
+    # 4-process test)
+    from tests.distributed_trainer_worker import run_validator
 
-    ref_cfg = build_config(str(data_root), str(tmp_path / "ref"), 0)
-    ref_t, ref_hist = run_trainer(ref_cfg)
+    ref_cfg, ref_t, ref_hist = reference_run
     got = np.load(out)
     np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
     np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)
@@ -224,7 +244,7 @@ def test_two_process_full_trainer(tmp_path):
     np.testing.assert_allclose(got["y_prob"], ref_prob, rtol=2e-3, atol=1e-4)
 
 
-def test_four_process_full_trainer(tmp_path):
+def test_four_process_full_trainer(tmp_path, trainer_data_root, reference_run):
     """4-process variant (VERDICT r3 #7): the same full Trainer.train()
     loop with FOUR jax.distributed processes of 2 devices each — the same
     global 8-device mesh, so the per-epoch loss history must match a
@@ -233,12 +253,9 @@ def test_four_process_full_trainer(tmp_path):
     process contributes a 2-row local_batch_slice."""
     import numpy as np
 
-    data_root, out = _run_full_trainer_procs(4, 2, tmp_path)
+    out = _run_full_trainer_procs(4, 2, tmp_path, trainer_data_root)
 
-    from tests.distributed_trainer_worker import build_config, run_trainer
-
-    ref_cfg = build_config(str(data_root), str(tmp_path / "ref"), 0)
-    _ref_t, ref_hist = run_trainer(ref_cfg)
+    _ref_cfg, _ref_t, ref_hist = reference_run
     got = np.load(out)
     np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
     np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)

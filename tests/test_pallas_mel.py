@@ -388,6 +388,40 @@ class TestPallasMel:
                            algorithm="radix4dif_fused", interpret=True,
                            dft_passes=6)
 
+    def test_invalid_pass_counts_raise(self):
+        """dft_passes=5 used to pass validation and silently run the
+        3-pass product (WEAKER than the 4-pass default the caller tried to
+        exceed); only {3, 4, 6} name real decompositions."""
+        wav = jnp.zeros((2, SR), jnp.float32)
+        for bad in (2, 5, 7):
+            with pytest.raises(ValueError, match="must be 3 or 4"):
+                log_mel_pallas(wav, SR, N_FFT, HOP, N_MELS,
+                               algorithm="radix16dif_fused", interpret=True,
+                               dft_passes=bad)
+
+    def test_frontend_validates_dft_passes_at_construction(self):
+        """MelFrontend rejects a mis-shaped or mis-backended accuracy
+        opt-in AT CONSTRUCTION with its own contract, instead of a
+        trace-time kernel error (or a silent no-op on the XLA backends)."""
+        from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+
+        # shape selects radix4dif_fused, which has no 3-way constants
+        with pytest.raises(ValueError, match="radix-8/16 DIF"):
+            MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=512,
+                        hop_length=128, duration=1.0, dft_passes=6)
+        # the XLA backends never run the Pallas kernels
+        with pytest.raises(ValueError, match="never runs the Pallas"):
+            MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
+                        hop_length=HOP, duration=1.0, backend="xla",
+                        dft_passes=6)
+        with pytest.raises(ValueError, match="must be 3 or 4"):
+            MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
+                        hop_length=HOP, duration=1.0, dft_passes=5)
+        # the production shape accepts the opt-in
+        fe = MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
+                         hop_length=HOP, duration=1.0, dft_passes=6)
+        assert fe._pallas_algorithm() == "radix16dif_fused"
+
     def test_radix16dif_fused_ineligible_shapes_raise(self):
         wav = jnp.zeros((2, SR), jnp.float32)
         with pytest.raises(ValueError, match="hop_length % 128"):
