@@ -618,7 +618,7 @@ class MelFrontend:
             self.target_length, self.f_min, self.f_max, self.top_db,
             self.mel_scale, self.norm,
             self.use_matmul_dft, self.normalize, self.backend,
-            self.pallas_algorithm,
+            self.pallas_algorithm, self.dft_passes,
         )
 
     def __hash__(self):

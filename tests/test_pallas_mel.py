@@ -422,6 +422,24 @@ class TestPallasMel:
                          hop_length=HOP, duration=1.0, dft_passes=6)
         assert fe._pallas_algorithm() == "radix16dif_fused"
 
+    def test_frontend_hash_distinguishes_dft_passes(self):
+        """VERDICT r4 weak #1: _key() omitted dft_passes, so two frontends
+        differing only in the accuracy opt-in hashed/compared equal — used
+        as a jit static arg or cache key, a dft_passes=6 frontend would
+        silently reuse a 4-pass trace and return 4-pass numerics."""
+        from audio_classification_icbhi_tpu.ops.mel import MelFrontend
+
+        kw = dict(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
+                  hop_length=HOP, duration=1.0)
+        fe4 = MelFrontend(**kw, dft_passes=4)
+        fe6 = MelFrontend(**kw, dft_passes=6)
+        fe_default = MelFrontend(**kw)
+        assert fe4 != fe6 and hash(fe4) != hash(fe6)
+        assert fe_default != fe6
+        # and equal configs still compare/hash equal
+        assert MelFrontend(**kw, dft_passes=6) == fe6
+        assert hash(MelFrontend(**kw, dft_passes=6)) == hash(fe6)
+
     def test_radix16dif_fused_ineligible_shapes_raise(self):
         wav = jnp.zeros((2, SR), jnp.float32)
         with pytest.raises(ValueError, match="hop_length % 128"):
