@@ -285,16 +285,46 @@ def parity(out_path: str = "PARITY_r04.json"):
           f"rows -> {out_path}", flush=True)
 
 
-def main():
+def perf_floor() -> float | None:
+    """Committed regression floor (VERDICT r4 #5): PERF_FLOORS.json pins the
+    minimum acceptable headline throughput on the real chip (~10% under the
+    last recorded BENCH). CPU runs are exempt — the floor is a TPU number."""
+    import os
+
+    import jax
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PERF_FLOORS.json")
+    if not os.path.exists(path):
+        return None
+    if jax.devices()[0].platform != "tpu":
+        return None
+    with open(path) as f:
+        return float(json.load(f)["wav_to_logits_clips_per_sec_per_chip_min"])
+
+
+def main(assert_min: float | None = None):
     batch = int(__import__("os").environ.get("BENCH_BATCH", 128))
     wav_to_logits, inputs, _ = build_pipeline(batch)
     clips_per_sec = measure(wav_to_logits, inputs, batch)
-    print(json.dumps({
+    rec = {
         "metric": "wav_to_logits_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 1),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
-    }))
+    }
+    floor = perf_floor() if assert_min is None else assert_min
+    if floor is not None:
+        rec["floor"] = floor
+        rec["floor_ok"] = clips_per_sec >= floor
+    print(json.dumps(rec))
+    if assert_min is not None and clips_per_sec < assert_min:
+        # --assert-min turns a regression into a hard failure; the default
+        # run stays exit-0 so a transient tunnel slowdown can't eat the
+        # recorded benchmark line, but the floor verdict is in the JSON.
+        print(f"PERF REGRESSION: {clips_per_sec:.0f} < floor {floor:.0f}",
+              file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
@@ -302,5 +332,11 @@ if __name__ == "__main__":
         sweep()
     elif "--parity" in sys.argv:
         parity()
+    elif "--assert-min" in sys.argv:
+        i = sys.argv.index("--assert-min")
+        explicit = (i + 1 < len(sys.argv)
+                    and not sys.argv[i + 1].startswith("-"))
+        main(assert_min=float(sys.argv[i + 1]) if explicit
+             else (perf_floor() or 0.0))
     else:
         main()

@@ -56,3 +56,30 @@ def test_parity_battery_shapes():
     wavs = bench.parity_battery(16000)
     assert wavs.shape == (8, 16000) and wavs.dtype == np.float32
     assert np.isfinite(wavs).all()
+
+
+def test_perf_floor_gate(monkeypatch):
+    """VERDICT r4 #5: the committed regression gate. On CPU the floor is
+    exempt (perf_floor() -> None: it's a TPU number), but the --assert-min
+    path must fail loudly when the measured rate sits under the floor and
+    pass when above — checked by stubbing the measurement."""
+    import json
+    import pytest
+
+    assert bench.perf_floor() is None  # CPU suite: floor never gates
+
+    with open("/root/repo/PERF_FLOORS.json") as f:
+        floors = json.load(f)
+    floor = floors["wav_to_logits_clips_per_sec_per_chip_min"]
+    assert floor >= 50000  # guards against someone zeroing the gate
+
+    monkeypatch.setattr(bench, "build_pipeline",
+                        lambda batch: (None, [None], None))
+    monkeypatch.setattr(bench, "measure", lambda fn, inputs, batch: 100.0)
+    with pytest.raises(SystemExit) as ei:
+        bench.main(assert_min=floor)
+    assert ei.value.code == 1
+
+    monkeypatch.setattr(bench, "measure",
+                        lambda fn, inputs, batch: floor + 1.0)
+    bench.main(assert_min=floor)  # above floor: returns normally
