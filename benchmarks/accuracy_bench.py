@@ -535,6 +535,13 @@ def main():
     ap.add_argument("--report-only", action="store_true",
                     help="Regenerate --out from an existing --results-json "
                          "without running anything")
+    ap.add_argument("--assert-bands", action="store_true",
+                    help="After running, gate the full arm's best validation "
+                         "accuracy against the committed acceptance band "
+                         "(REAL_BANDS below — the reference README.md:180 "
+                         "claims 70-85%% on the real corpus; exit 1 below "
+                         "the floor). Meant for --data runs on real ICBHI "
+                         "via fetch_icbhi.py --then-bench.")
     args = ap.parse_args()
 
     if args.report_only:
@@ -615,6 +622,30 @@ def main():
         r.pop("history")
         print(json.dumps(r))
     write_report(results, args, Path(args.out))
+    if args.assert_bands:
+        assert_bands(results)
+
+
+# Committed acceptance band for REAL-corpus runs (VERDICT r4 #3): the
+# reference reports 70-85% validation accuracy "depends on dataset split"
+# (reference README.md:180). The band is a FLOOR gate — beating 85% is a
+# win, not a failure. Judged on the full arm (the production recipe:
+# class weights + masking), best epoch by ICBHI score.
+REAL_BANDS = {"val_acc_at_best_pct_min": 70.0}
+
+
+def assert_bands(results: list[dict]) -> None:
+    full = [r for r in results if r["arm"] == "full"]
+    if not full:
+        raise SystemExit("--assert-bands: no 'full' arm ran; nothing to gate")
+    worst = min(r["val_acc_at_best_pct"] for r in full)
+    floor = REAL_BANDS["val_acc_at_best_pct_min"]
+    verdict = {"band": "val_acc_at_best_pct >= " + str(floor),
+               "measured_min_over_full_arms": worst,
+               "ok": worst >= floor}
+    print(json.dumps({"acceptance": verdict}))
+    if not verdict["ok"]:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
