@@ -81,12 +81,43 @@ def run_validator(trainer, config):
     return v.validate(trainer.params, trainer.batch_stats)
 
 
+def _install_kill_after_first_epoch(checkpoint_dir: str) -> None:
+    """kill1 mode (VERDICT r4 #6): simulate a whole-job preemption at the
+    epoch-2 boundary. Every process, on entering train_epoch(epoch=1),
+    waits for process 0's epoch-1 checkpoint file to be durably on disk
+    (save_every=1, async writer) and then hard-exits with os._exit —
+    skipping every finally/drain path, like a real SIGKILL."""
+    import os
+    import time
+    from pathlib import Path
+
+    from audio_classification_icbhi_tpu.training.trainer import Trainer
+
+    orig = Trainer.train_epoch
+    ckpt = Path(checkpoint_dir) / "checkpoint_epoch_1.ckpt"
+
+    def patched(self, epoch):
+        if epoch >= 1:
+            for _ in range(600):
+                if ckpt.exists():
+                    break
+                time.sleep(0.1)
+            assert ckpt.exists(), f"epoch-1 checkpoint never landed: {ckpt}"
+            os._exit(17)
+        return orig(self, epoch)
+
+    Trainer.train_epoch = patched
+
+
 def main() -> None:
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     data_root, out_dir, out_npz = sys.argv[4], sys.argv[5], sys.argv[6]
     # devices per process (default 4 -> the 2-process global-8 layout;
     # the 4-process variant passes 2 for the same 8-device global mesh)
     devs = int(sys.argv[7]) if len(sys.argv) > 7 else 4
+    # full (default) | kill1 (die after epoch 1's checkpoint is durable) |
+    # resume (restart from that checkpoint and finish the run)
+    mode = sys.argv[8] if len(sys.argv) > 8 else "full"
 
     import jax
 
@@ -106,7 +137,30 @@ def main() -> None:
     import numpy as np
 
     config = build_config(data_root, out_dir, pid)
-    trainer, history = run_trainer(config)
+    if mode != "full":
+        config["training"]["save_every"] = 1
+    if mode == "kill1":
+        _install_kill_after_first_epoch(config["training"]["checkpoint_dir"])
+        run_trainer(config)
+        raise AssertionError("kill1 worker survived past epoch 1")
+
+    if mode == "resume":
+        from audio_classification_icbhi_tpu.data.dataset_segmented import (
+            ICBHISegmentedDataset,
+        )
+        from audio_classification_icbhi_tpu.models import build_model
+        from audio_classification_icbhi_tpu.training.trainer import Trainer
+
+        train = ICBHISegmentedDataset(data_root, "train", config, augment=True)
+        val = ICBHISegmentedDataset(data_root, "val", config, augment=False)
+        trainer = Trainer(build_model(config, axis_name="data"), train, val,
+                          config)
+        ckpt = f"{config['training']['checkpoint_dir']}/checkpoint_epoch_1.ckpt"
+        history = trainer.train(resume_from=ckpt)
+        assert trainer.start_epoch == 1, trainer.start_epoch
+        assert len(history["val_loss"]) == 1  # only epoch 2 ran
+    else:
+        trainer, history = run_trainer(config)
     assert trainer._multiprocess
     y_true, y_pred, y_prob = run_validator(trainer, config)
 

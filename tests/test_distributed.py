@@ -163,11 +163,14 @@ def reference_run(trainer_data_root, tmp_path_factory):
 
 
 def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path,
-                            data_root):
+                            data_root, mode: str = "full",
+                            expect_rc: int = 0):
     """Launch nproc distributed_trainer_worker processes with
     devs_per_proc virtual CPU devices each (a global nproc*devs mesh),
     sharing one synthetic dataset and checkpoint dir; returns the npz
-    process 0 wrote."""
+    process 0 wrote. mode/expect_rc support the kill/resume phases
+    (mode='kill1' hard-exits every process with code 17 once the epoch-1
+    checkpoint is durable)."""
     with socket.socket() as sk:
         sk.bind(("127.0.0.1", 0))
         port = sk.getsockname()[1]
@@ -180,7 +183,8 @@ def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path,
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), str(nproc),
-             str(data_root), str(tmp_path), str(out), str(devs_per_proc)],
+             str(data_root), str(tmp_path), str(out), str(devs_per_proc),
+             mode],
             cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -189,14 +193,16 @@ def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path,
     try:
         for pid, proc in enumerate(procs):
             stdout, _ = proc.communicate(timeout=540)
-            assert proc.returncode == 0, f"pid {pid}:\n{stdout[-4000:]}"
-            assert f"TRAINER-OK pid={pid}" in stdout, stdout[-2000:]
+            assert proc.returncode == expect_rc, f"pid {pid}:\n{stdout[-4000:]}"
+            if expect_rc == 0:
+                assert f"TRAINER-OK pid={pid}" in stdout, stdout[-2000:]
     finally:
         for proc in procs:
             if proc.poll() is None:
                 proc.kill()
-    assert out.exists()
-    assert (tmp_path / "ckpts" / "best_model.ckpt").exists()  # process 0 wrote
+    if expect_rc == 0:
+        assert out.exists()
+        assert (tmp_path / "ckpts" / "best_model.ckpt").exists()  # process 0 wrote
     return out
 
 
@@ -259,6 +265,34 @@ def test_four_process_full_trainer(tmp_path, trainer_data_root, reference_run):
     got = np.load(out)
     np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"], rtol=2e-4)
     np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"], rtol=2e-4)
+
+
+def test_four_process_kill_and_resume(tmp_path, trainer_data_root,
+                                      reference_run):
+    """Multi-host kill/resume (VERDICT r4 #6): a 4-process run is hard-
+    killed (os._exit in every process — no finally/drain path runs, like a
+    preemption) right after epoch 1's checkpoint is durable on disk; four
+    FRESH processes then restart with resume_from=checkpoint_epoch_1.ckpt
+    and finish the run. The continued epoch's train/val loss must match
+    the uninterrupted single-process 8-device reference epoch-for-epoch —
+    resume across a real process boundary is exact, not approximate."""
+    import numpy as np
+
+    _run_full_trainer_procs(4, 2, tmp_path, trainer_data_root,
+                            mode="kill1", expect_rc=17)
+    ckpt = tmp_path / "ckpts" / "checkpoint_epoch_1.ckpt"
+    assert ckpt.exists()  # the durable artifact the kill gated on
+
+    out = _run_full_trainer_procs(4, 2, tmp_path, trainer_data_root,
+                                  mode="resume")
+    _ref_cfg, _ref_t, ref_hist = reference_run
+    got = np.load(out)
+    # resumed history holds exactly the post-kill epoch(s): epoch 2 of 2
+    assert got["train_loss"].shape == (1,)
+    np.testing.assert_allclose(got["train_loss"], ref_hist["train_loss"][1:],
+                               rtol=2e-4)
+    np.testing.assert_allclose(got["val_loss"], ref_hist["val_loss"][1:],
+                               rtol=2e-4)
 
 
 def test_coordinator_bringup_subprocess():
