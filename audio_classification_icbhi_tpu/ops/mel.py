@@ -385,11 +385,12 @@ class MelFrontend:
         # outside the 1e-3 production budget — see test_pallas_mel).
         # Eligibility is NOT re-checked beyond the kernel's own asserts.
         pallas_algorithm: str | None = None,
-        # None = per-algorithm default (4 for the radix-8/16 DIF kernels,
-        # 3 elsewhere). 6 selects the 3-way hi/mid/lo split with
-        # f32-equivalent DFT accuracy (~4.6e-4 dB unrestricted, no
-        # active-region qualifier) at +50% DFT MXU work — measured trade
-        # in PARITY.md (VERDICT r3 #4).
+        # None = per-algorithm default (5 for the radix-8/16 DIF kernels,
+        # 3 elsewhere). 5 = asymmetric 3-way-operand x 2-way-matrix split
+        # (meets the 1e-3 dB budget UNRESTRICTED with the same constants
+        # as 4). 6 = full 3-way hi/mid/lo split with f32-equivalent DFT
+        # accuracy (~4.6e-4 dB unrestricted) at +50% DFT MXU work —
+        # measured trades in PARITY.md (VERDICT r3 #4, r4 #1).
         dft_passes: int | None = None,
     ):
         self.sample_rate = sample_rate
@@ -418,19 +419,20 @@ class MelFrontend:
         # path engages (real TPU); on CPU auto falls back to XLA and the
         # knob is inert — the Pallas accuracy modes are TPU-kernel options.
         if dft_passes is not None:
-            if dft_passes not in (3, 4, 6):
+            if dft_passes not in (3, 4, 5, 6):
                 raise ValueError(
-                    f"dft_passes must be 3 or 4 (2-way bf16 split) or 6 "
+                    f"dft_passes must be 3 or 4 (2-way bf16 split), 5 "
+                    f"(3-way operand x 2-way matrix), or 6 "
                     f"(3-way hi/mid/lo split), got {dft_passes}")
             if backend in ("xla", "xla_radix2"):
                 raise ValueError(
                     f"dft_passes selects a Pallas kernel decomposition; "
                     f"backend={backend!r} never runs the Pallas kernels")
-            if dft_passes == 6:
+            if dft_passes >= 5:
                 alg = self._pallas_algorithm()
                 if alg not in ("radix8dif_fused", "radix16dif_fused"):
                     raise ValueError(
-                        f"dft_passes=6 (3-way split constants) requires the "
+                        f"dft_passes={dft_passes} (3-way split) requires the "
                         f"radix-8/16 DIF kernels; this shape selects {alg!r} "
                         f"(need n_fft % 1024 == 0 and hop_length % 128 == 0)")
 
@@ -503,14 +505,12 @@ class MelFrontend:
         MXU work than radix-8; 58.5k vs 49.1k end-to-end clips/s at batch
         128 on v5e and the winner at EVERY batch size in the r3 sweep,
         89% retention at batch 1024) needs n_fft % 2048 == 0 (lane-aligned
-        sixteenth blocks) and hop % 128 == 0; its 4-pass default measures
-        the same parity profile as radix-8's (battery max 1.13e-3 /
-        25 dB-active 1.1e-4 vs 1.22e-3 / 8.5e-5 — PARITY_r03.json carries
-        the on-chip rows). radix8dif_fused (42% less DFT MXU work than
-        radix-4 DIF at equal passes) covers n_fft % 1024 == 0; its 4-pass
-        default measures 4.7e-4 dB in the 25 dB active region on-chip —
-        the same band as radix-4's 4.6e-4, so the whole DIF family meets
-        the production budget on the same basis. radix4dif_fused covers
+        sixteenth blocks) and hop % 128 == 0; its 5-pass asymmetric
+        default (r5) measures 8.6e-4 dB UNRESTRICTED on-chip — inside the
+        1e-3 budget with no active-region qualifier (PARITY_r05.json).
+        radix8dif_fused (42% less DFT MXU work than radix-4 DIF at equal
+        passes) covers n_fft % 1024 == 0 with the same 5-pass default and
+        parity basis. radix4dif_fused covers
         n_fft % 512 == 0; radix4_fused/radix2_fused remain for comparison;
         radix2 needs only n_fft % 4 == 0; bf16x3 is the general fallback."""
         if self.pallas_algorithm is not None:

@@ -387,7 +387,12 @@ def _constants_radix8dif(sample_rate: int, n_fft: int, n_mels: int, mel_scale: s
             k = 8 * m + r
             fr[m, :n_mels] = fb[k if k <= half else n_fft - k]
         fbs.append(fr)
-    return tuple(dft), wtw, tuple(fbs)
+    # mel matrices ship hi/lo-split for the kernel's 3-pass bf16 mel
+    # projection (_dot_mel): power and filterbank are both NONNEGATIVE, so
+    # every bf16 representation error stays elementwise-RELATIVE through the
+    # sum — ~2^-18 per mel bin (5e-5 dB) even at floor bins — at half the
+    # MXU passes of the former Precision.HIGHEST f32 dot.
+    return tuple(dft), wtw, tuple(_split_bf16_n(f, 2) for f in fbs)
 
 
 @functools.lru_cache(maxsize=8)
@@ -470,7 +475,9 @@ def _constants_radix16dif(sample_rate: int, n_fft: int, n_mels: int, mel_scale: 
             k = 16 * m + r
             fr[m, :n_mels] = fb[k if k <= half else n_fft - k]
         fbs.append(fr)
-    return tuple(dft), wtw, tuple(fbs)
+    # hi/lo-split mel matrices for the 3-pass bf16 mel projection — see
+    # _constants_radix8dif for the nonnegativity argument.
+    return tuple(dft), wtw, tuple(_split_bf16_n(f, 2) for f in fbs)
 
 
 def _dot_f32(a, b):
@@ -559,11 +566,11 @@ def _dot_hilo(x_hi, x_lo, m_ref, passes: int):
 
 def _split_parts(x, passes: int):
     """Kernel-side operand split matching the pass budget: 2-way bf16
-    hi/lo (passes<=4) or 3-way hi/mid/lo (passes>=6 — hi+mid+lo captures
+    hi/lo (passes<=4) or 3-way hi/mid/lo (passes>=5 — hi+mid+lo captures
     all 24 f32 mantissa bits)."""
     hi = x.astype(jnp.bfloat16)
     r = x - hi.astype(jnp.float32)
-    if passes < 6:
+    if passes < 5:
         return (hi, r.astype(jnp.bfloat16))
     mid = r.astype(jnp.bfloat16)
     lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -571,22 +578,56 @@ def _split_parts(x, passes: int):
 
 
 def _dot_parts(parts, m_ref, passes: int):
-    """Multi-pass bf16 product against a host-pre-split matrix, either
-    2-way (passes 3/4, _dot_hilo) or 3-way (passes>=6).
+    """Multi-pass bf16 product against a host-pre-split matrix:
+    2-way operand x 2-way matrix (passes 3/4, _dot_hilo), 3-way operand x
+    2-way matrix (passes=5), or 3-way x 3-way (passes>=6).
+
+    passes=5 is the ASYMMETRIC scheme (production default for the
+    radix-8/16 DIF kernels): the in-kernel operand u is split 3-way
+    (error below f32 eps) while the host matrices stay 2-way — the same
+    constants, DMA traffic, and VMEM footprint as passes=4. The five
+    kept terms (hi@Mhi; hi@Mlo, mid@Mhi; mid@Mlo, lo@Mhi) cover every
+    product of magnitude >= 2^-18 relative; the remaining error is the
+    matrices' own 2-way representation floor (~2^-18), which the offline
+    battery puts at 6.2e-4 dB unrestricted vs passes=4's 1.06e-3 — the
+    u-representation error the 2-way split left on the table was the
+    larger half of the pass-4 error (per-class attribution in the r5
+    notes). +25% DFT MXU work vs passes=4 and none of passes=6's
+    1.5x constant traffic.
 
     passes=6 keeps every cross term of magnitude >= 2^-16 relative
-    (hi@hi; hi@mid, mid@hi; hi@lo, lo@hi, mid@mid) — the dropped
-    mid@lo/lo@mid (~2^-24) and lo@lo (~2^-32) sit at or below the f32
-    epsilon of the result, so this is f32-equivalent DFT accuracy at six
-    bf16 MXU passes (+50% DFT work vs passes=4; costed on-chip,
-    VERDICT r3 #4)."""
+    (hi@hi; hi@mid, mid@hi; hi@lo, lo@hi, mid@mm) against 3-way-split
+    matrices — the dropped mid@lo/lo@mid (~2^-24) and lo@lo (~2^-32) sit
+    at or below the f32 epsilon of the result, so this is f32-equivalent
+    DFT accuracy at six bf16 MXU passes (+50% DFT work vs passes=4;
+    costed on-chip, VERDICT r3 #4)."""
     if passes >= 6:
         hi, mid, lo = parts
         mhi, mmid, mlo = m_ref[0], m_ref[1], m_ref[2]
         return (_dot_bf16(hi, mhi) + _dot_bf16(hi, mmid) + _dot_bf16(mid, mhi)
                 + _dot_bf16(hi, mlo) + _dot_bf16(lo, mhi)
                 + _dot_bf16(mid, mmid))
+    if passes == 5:
+        hi, mid, lo = parts
+        mhi, mlo = m_ref[0], m_ref[1]
+        return (_dot_bf16(hi, mhi) + _dot_bf16(hi, mlo) + _dot_bf16(mid, mhi)
+                + _dot_bf16(mid, mlo) + _dot_bf16(lo, mhi))
     return _dot_hilo(parts[0], parts[1], m_ref, passes)
+
+
+def _dot_mel(power, fb_ref):
+    """3-pass bf16 mel projection against a hi/lo-split filterbank.
+
+    power (spectral magnitudes) and the mel filterbank are both
+    NONNEGATIVE, so there is no cancellation anywhere in the sum: each
+    bf16 representation error is elementwise-relative (~2^-18 after the
+    hi/lo split) and stays relative per MEL bin — ~5e-5 dB even at floor
+    bins, an order below the DFT passes' own floor. Half the MXU work of
+    the Precision.HIGHEST f32 dot this replaces (measured: the swap pays
+    for the 5th DFT pass of the dft_passes=5 production mode and more)."""
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot_hilo(p_hi, p_lo, fb_ref, 3)
 
 
 def _kernel_radix2(e_ref, o_ref, ce_ref, se_ref, co_ref, so_ref,
@@ -1156,7 +1197,7 @@ def _kernel_radix8dif_fused(x_ref, c0_ref, s0_ref, c4_ref, s4_ref,
                             t: int, t_pad: int, pieces: int, hop: int,
                             n_mels: int, normalize: bool,
                             top_db: float | None, eps: float,
-                            passes: int = 4, group: int = 1,
+                            passes: int = 5, group: int = 1,
                             with_masks: bool = False):
     """Grid: (B/group,) — radix-8 DIF (see _constants_radix8dif).
 
@@ -1210,11 +1251,11 @@ def _kernel_radix8dif_fused(x_ref, c0_ref, s0_ref, c4_ref, s4_ref,
     im4 = _dot_parts(u4p, s4_ref, passes)
 
     mel = (
-        _dot_f32(re0 * re0 + im0 * im0, f0_ref[:])
-        + _dot_f32(re4 * re4 + im4 * im4, f4_ref[:])
-        + _dot_f32(cplx(u1r, u1i, c1_ref, s1_ref), f1_ref[:])
-        + _dot_f32(cplx(u2r, u2i, c2_ref, s2_ref), f2_ref[:])
-        + _dot_f32(cplx(u3r, u3i, c3_ref, s3_ref), f3_ref[:])
+        _dot_mel(re0 * re0 + im0 * im0, f0_ref)
+        + _dot_mel(re4 * re4 + im4 * im4, f4_ref)
+        + _dot_mel(cplx(u1r, u1i, c1_ref, s1_ref), f1_ref)
+        + _dot_mel(cplx(u2r, u2i, c2_ref, s2_ref), f2_ref)
+        + _dot_mel(cplx(u3r, u3i, c3_ref, s3_ref), f3_ref)
     )
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     for g in range(group):
@@ -1230,7 +1271,7 @@ def _kernel_radix16dif_fused(x_ref, *refs,
                              t: int, t_pad: int, pieces: int, hop: int,
                              n_mels: int, normalize: bool,
                              top_db: float | None, eps: float,
-                             passes: int = 4, group: int = 1,
+                             passes: int = 5, group: int = 1,
                              with_masks: bool = False):
     """Grid: (B/group,) — radix-16 DIF (see _constants_radix16dif).
 
@@ -1312,13 +1353,13 @@ def _kernel_radix16dif_fused(x_ref, *refs,
     re8 = _dot_parts(u8p, c8_ref, passes)
     im8 = _dot_parts(u8p, s8_ref, passes)
 
-    mel = (_dot_f32(re0 * re0 + im0 * im0, fb_refs[0][:])
-           + _dot_f32(re8 * re8 + im8 * im8, fb_refs[1][:]))
+    mel = (_dot_mel(re0 * re0 + im0 * im0, fb_refs[0])
+           + _dot_mel(re8 * re8 + im8 * im8, fb_refs[1]))
     for i, r in enumerate(range(1, 8)):
         ur, ui = odds[r] if r % 2 else evens[r]
-        mel = mel + _dot_f32(
+        mel = mel + _dot_mel(
             cplx(ur, ui, dft_refs[4 + 2 * i], dft_refs[5 + 2 * i]),
-            fb_refs[2 + i][:],
+            fb_refs[2 + i],
         )
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     for g in range(group):
@@ -1335,7 +1376,7 @@ def _log_mel_radix16dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                               f_min: float = 0.0, f_max: float | None = None,
                               top_db: float | None = None,
                               normalize: bool = False, eps: float = 1e-8,
-                              dft_passes: int = 4, spec_mask_bounds=None):
+                              dft_passes: int = 5, spec_mask_bounds=None):
     if n_fft % 16:
         raise ValueError("radix16dif_fused requires n_fft divisible by 16")
     if n_fft % hop_length:
@@ -1362,7 +1403,7 @@ def _log_mel_radix16dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     )
     s = n_fft // 16
     nb0_pad = dft[0].shape[2]
-    m_pad = fbs[0].shape[1]
+    m_pad = fbs[0].shape[2]
     group = next(g for g in (4, 2, 1) if b % g == 0)
 
     def const(cols):
@@ -1370,7 +1411,8 @@ def _log_mel_radix16dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                             memory_space=pltpu.VMEM)
 
     def fbspec(rows):
-        return pl.BlockSpec((rows, m_pad), lambda bi: (0, 0),
+        # hi/lo-split mel matrix for the 3-pass bf16 projection (_dot_mel)
+        return pl.BlockSpec((2, rows, m_pad), lambda bi: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -1416,7 +1458,7 @@ def _log_mel_radix8dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                              f_min: float = 0.0, f_max: float | None = None,
                              top_db: float | None = None,
                              normalize: bool = False, eps: float = 1e-8,
-                             dft_passes: int = 4, spec_mask_bounds=None):
+                             dft_passes: int = 5, spec_mask_bounds=None):
     if n_fft % 8:
         raise ValueError("radix8dif_fused requires n_fft divisible by 8")
     if n_fft % hop_length:
@@ -1446,7 +1488,7 @@ def _log_mel_radix8dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
     )
     e = n_fft // 8
     nb0_pad = dft[0].shape[2]
-    m_pad = fbs[0].shape[1]
+    m_pad = fbs[0].shape[2]
     group = next(g for g in (4, 2, 1) if b % g == 0)
 
     def const(cols):
@@ -1454,7 +1496,8 @@ def _log_mel_radix8dif_fused(waveform, sample_rate, n_fft, hop_length, n_mels,
                             memory_space=pltpu.VMEM)
 
     def fbspec(rows):
-        return pl.BlockSpec((rows, m_pad), lambda bi: (0, 0),
+        # hi/lo-split mel matrix for the 3-pass bf16 projection (_dot_mel)
+        return pl.BlockSpec((2, rows, m_pad), lambda bi: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -1561,7 +1604,7 @@ def analytic_flops(algorithm: str, length: int, n_fft: int, hop_length: int,
     Pallas backends — XLA's cost analysis sees a Mosaic kernel as an opaque
     custom call with zero FLOPs (VERDICT r2 #7)."""
     if dft_passes is None:
-        dft_passes = 4 if algorithm in ("radix8dif_fused", "radix16dif_fused") else 3
+        dft_passes = 5 if algorithm in ("radix8dif_fused", "radix16dif_fused") else 3
     t = stft_ops.num_frames(length, n_fft, hop_length)
     t_pad = _round_up(t, 8)
     m_pad = _round_up(n_mels, 128)
@@ -1576,7 +1619,8 @@ def analytic_flops(algorithm: str, length: int, n_fft: int, hop_length: int,
         prep = 118 * t_pad * s
         # powers on the nine spectra's output columns
         prep += 3 * t_pad * (nb0_pad + s // 2 + 7 * s)
-        mel = 2 * t_pad * (nb0_pad + s // 2 + 7 * s) * m_pad
+        # 3-pass bf16 mel projection (_dot_mel): 3 explicit dots
+        mel = 3 * 2 * t_pad * (nb0_pad + s // 2 + 7 * s) * m_pad
         epilogue = 6 * t_pad * m_pad
         return dft + prep + mel + epilogue
     if algorithm == "radix4_fused":
@@ -1599,7 +1643,8 @@ def analytic_flops(algorithm: str, length: int, n_fft: int, hop_length: int,
         prep = 50 * t_pad * e
         # powers on the five spectra's output columns
         prep += 3 * t_pad * (nb0_pad + e // 2 + 3 * e)
-        mel = 2 * t_pad * (nb0_pad + e // 2 + 3 * e) * m_pad
+        # 3-pass bf16 mel projection (_dot_mel): 3 explicit dots
+        mel = 3 * 2 * t_pad * (nb0_pad + e // 2 + 3 * e) * m_pad
         epilogue = 6 * t_pad * m_pad
         return dft + prep + mel + epilogue
     if algorithm == "radix4dif_fused":
@@ -1650,15 +1695,16 @@ def log_mel_pallas(
     tile_t: int = 64,
     f_tile: int = 512,
     interpret: bool = False,
-    # bf16 passes per DFT matmul (see _dot_hilo). None = per-algorithm
-    # default: 4 for radix8dif_fused / radix16dif_fused (deeper decimation
-    # re-spends part of the saved MXU work to stay inside the 1e-3 dB
-    # budget — radix-8 measured 1.3e-3 at 3 passes, 4.8e-4 at 4), 3 for
-    # everything else. 6 (radix8/16 DIF only) switches to a 3-way
-    # hi/mid/lo split (_dot_parts): f32-equivalent DFT, 4.6e-4 dB
-    # unrestricted on-chip (no active-region qualifier) at a measured
-    # -9% e2e throughput for radix-16 — opt-in, not production
-    # (PARITY.md, VERDICT r3 #4).
+    # bf16 passes per DFT matmul (see _dot_parts). None = per-algorithm
+    # default: 5 for radix8dif_fused / radix16dif_fused — the asymmetric
+    # 3-way-operand x 2-way-matrix split, which meets the 1e-3 dB budget
+    # UNRESTRICTED (8.6e-4 on-chip, no active-region qualifier) at 58.1k
+    # e2e clips/s with the bf16x3 mel projection (-2.3%% vs the 4-pass
+    # default it replaced; VERDICT r4 #1) — and 3 for everything else.
+    # 4 = the former 2-way/2-way production default (1.24e-3 unrestricted,
+    # 4.8e-4 in the 25 dB active region, 61.3k clips/s). 6 (radix8/16 DIF
+    # only) = full 3-way split: f32-equivalent DFT, 4.8e-4 dB unrestricted
+    # at -4.5% vs the 5-pass default (PARITY.md, VERDICT r3 #4).
     dft_passes: int | None = None,
     spec_mask_bounds: jax.Array | None = None,  # (B, 4) per-example SpecAugment
 ) -> jax.Array:
@@ -1691,17 +1737,19 @@ def log_mel_pallas(
     ):
         raise ValueError("spec_mask_bounds requires a fused algorithm")
     if dft_passes is None:
-        dft_passes = 4 if algorithm in ("radix8dif_fused", "radix16dif_fused") else 3
-    elif dft_passes not in (3, 4, 6):
-        # _dot_parts implements exactly these budgets; 5 would silently run
-        # the 3-pass 2-way product (WEAKER than the default it tried to beat)
+        dft_passes = 5 if algorithm in ("radix8dif_fused", "radix16dif_fused") else 3
+    elif dft_passes not in (3, 4, 5, 6):
+        # _dot_parts implements exactly these budgets; 7 would silently run
+        # the 6-pass product (claiming accuracy it doesn't add)
         raise ValueError(
-            f"dft_passes must be 3 or 4 (2-way bf16 split) or 6 (3-way "
-            f"hi/mid/lo split), got {dft_passes}")
-    elif dft_passes == 6 and algorithm not in ("radix8dif_fused",
+            f"dft_passes must be 3 or 4 (2-way bf16 split), 5 (3-way "
+            f"operand x 2-way matrix), or 6 (3-way hi/mid/lo split), "
+            f"got {dft_passes}")
+    elif dft_passes >= 5 and algorithm not in ("radix8dif_fused",
                                                "radix16dif_fused"):
-        # the 3-way-split constants exist only for the DIF production
-        # kernels; elsewhere 6 would silently degrade to a 3-pass 2-way run
+        # the 3-way operand split rides _split_parts/_dot_parts, which only
+        # the DIF production kernels call; elsewhere 5/6 would silently
+        # degrade to a 3-pass 2-way run
         raise ValueError(
             f"dft_passes={dft_passes} (3-way split) requires radix8dif_fused"
             f" or radix16dif_fused, got {algorithm}")

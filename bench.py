@@ -205,7 +205,7 @@ def _golden_mel_f32(wav, sr, n_fft, hop, n_mels):
     return 10 * np.log10(np.maximum(mel, np.float32(1e-10)), dtype=np.float32)
 
 
-def parity(out_path: str = "PARITY_r04.json"):
+def parity(out_path: str = "PARITY_r05.json"):
     """On-chip numerics artifact (VERDICT r2 #6): every kernel algorithm and
     XLA path vs the float64 FFT golden, REAL Mosaic (not interpret mode),
     one JSON line per (algorithm, duration).
@@ -248,7 +248,10 @@ def parity(out_path: str = "PARITY_r04.json"):
                    "platform": platform,
                    "max_abs_db_err": round(err, 8),
                    "max_abs_db_err_25db": round(err25, 8),
-                   "within_budget": err25 <= 1e-3}
+                   "within_budget": err25 <= 1e-3,
+                   # the unqualified BASELINE.json clause — met by the
+                   # production 5-pass default since r5 (VERDICT r4 #1)
+                   "within_budget_unrestricted": err <= 1e-3}
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
@@ -265,12 +268,16 @@ def parity(out_path: str = "PARITY_r04.json"):
                      "radix4_fused", "radix2_fused", "radix2", "bf16x3", "f32"):
             run(f"pallas_{algo}", lambda w, a=algo: log_mel_pallas(
                 w, sr, n_fft, hop, n_mels, algorithm=a))
-        # the f32-equivalent 3-way-split mode (VERDICT r3 #4): in budget
-        # UNRESTRICTED (no active-region qualifier) at a measured -9% e2e
-        # throughput for radix-16 — documented opt-in, not production
+        # Pass-budget cross-section for the production DIF kernels. The
+        # bare rows above run the DEFAULT (5-pass asymmetric split since
+        # r5 — in budget UNRESTRICTED, VERDICT r4 #1); passes4 is the
+        # former 2-way/2-way default (active-region budget only), passes6
+        # the f32-equivalent 3-way opt-in.
         for algo in ("radix16dif_fused", "radix8dif_fused"):
-            run(f"pallas_{algo}_passes6", lambda w, a=algo: log_mel_pallas(
-                w, sr, n_fft, hop, n_mels, algorithm=a, dft_passes=6))
+            for p in (4, 6):
+                run(f"pallas_{algo}_passes{p}", lambda w, a=algo, p=p:
+                    log_mel_pallas(w, sr, n_fft, hop, n_mels, algorithm=a,
+                                   dft_passes=p))
         run("xla_radix2", lambda w: mel_ops.amplitude_to_db(
             mel_ops._log_mel_radix2_xla(w, sr, n_fft, hop, n_mels, "htk", None),
             stype="power"))

@@ -141,6 +141,68 @@ def bench_training(epochs: int, per_class: int) -> dict:
     }
 
 
+_ENGINE_BUNDLE = None
+
+
+def _latency_engine():
+    """The serving engine both latency benchmarks measure: a REAL
+    ClassifierEngine built from a checkpoint, so the benchmarks stay
+    pinned to what classify_wave actually ships (duration 8.0 — the
+    README latency claim is per whole recording, config.yaml duration 8).
+    Built once, warmed per tunnel rules, shared by bench_latency and
+    bench_serving."""
+    global _ENGINE_BUNDLE
+    if _ENGINE_BUNDLE is not None:
+        return _ENGINE_BUNDLE
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_classification_icbhi_tpu.inference import ClassifierEngine
+    from audio_classification_icbhi_tpu.models import build_model
+    from audio_classification_icbhi_tpu.models.registry import init_variables
+    from audio_classification_icbhi_tpu.ops import stft as stft_ops
+    from audio_classification_icbhi_tpu.utils.checkpoint import save_checkpoint
+
+    eng_cfg = {
+        "data": {"dataset_path": "x", "sample_rate": 16000, "n_mels": 128,
+                 "n_fft": 2048, "hop_length": 512, "duration": 8.0,
+                 "augmentation": False},
+        "model": {"architecture": "cnn", "num_classes": 4, "dropout": 0.3},
+        "training": {"batch_size": 32, "mixed_precision": True},
+        "classes": ["normal", "crackles", "wheezes", "both"],
+        "seed": 0,
+    }
+    model = build_model(eng_cfg)
+    tmpdir = tempfile.mkdtemp(prefix="headline_latency_")
+    ckpt_path = f"{tmpdir}/latency.ckpt"
+    variables = init_variables(
+        model, jax.random.PRNGKey(0),
+        (1, 128, stft_ops.num_frames(16000 * 8, 2048, 512), 1))
+    save_checkpoint(ckpt_path, {
+        "epoch": 0, "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "val_loss": 0.0, "config": eng_cfg,
+        "class_weights": np.ones(4, np.float32),
+    })
+    engine = ClassifierEngine(ckpt_path)
+    shutil.rmtree(tmpdir, ignore_errors=True)  # engine holds the state now
+
+    rng = np.random.default_rng(0)
+    host_clips = [
+        rng.standard_normal((engine.frontend.target_length,)).astype(np.float32) * 0.1
+        for _ in range(4)
+    ]
+    clips = [jnp.asarray(c) for c in host_clips]
+    engine.warmup_latency()
+    for c in host_clips:  # warm every measured input (tunnel rules)
+        engine.classify_wave(c)
+    _ENGINE_BUNDLE = (engine, host_clips, clips)
+    return _ENGINE_BUNDLE
+
+
 def bench_latency(reps: int) -> dict:
     """Batch-1 latency, measured AND decomposed (VERDICT r3 #1).
 
@@ -168,59 +230,9 @@ def bench_latency(reps: int) -> dict:
     import bench as north  # repo-root bench.py
 
     out = {}
-    rng = np.random.default_rng(0)
+
+    engine, host_clips, clips = _latency_engine()
     import jax.numpy as jnp
-
-    # batch-1 e2e latency at duration 8.0: bench.build_pipeline pins 5 s
-    # (BASELINE.json); the README latency claim is per whole recording
-    # (config.yaml duration 8). The measured program IS the engine's
-    # latency mode — a real ClassifierEngine built from a checkpoint, so
-    # this benchmark stays pinned to what classify_wave actually ships
-    # (it cannot silently drift from the serving path).
-    import tempfile
-
-    from audio_classification_icbhi_tpu.inference import ClassifierEngine
-    from audio_classification_icbhi_tpu.models import build_model
-    from audio_classification_icbhi_tpu.models.registry import init_variables
-    from audio_classification_icbhi_tpu.utils.checkpoint import save_checkpoint
-
-    eng_cfg = {
-        "data": {"dataset_path": "x", "sample_rate": 16000, "n_mels": 128,
-                 "n_fft": 2048, "hop_length": 512, "duration": 8.0,
-                 "augmentation": False},
-        "model": {"architecture": "cnn", "num_classes": 4, "dropout": 0.3},
-        "training": {"batch_size": 32, "mixed_precision": True},
-        "classes": ["normal", "crackles", "wheezes", "both"],
-        "seed": 0,
-    }
-    model = build_model(eng_cfg)
-    tmpdir = tempfile.mkdtemp(prefix="headline_latency_")
-    ckpt_path = f"{tmpdir}/latency.ckpt"
-    from audio_classification_icbhi_tpu.ops import stft as stft_ops
-
-    variables = init_variables(
-        model, jax.random.PRNGKey(0),
-        (1, 128, stft_ops.num_frames(16000 * 8, 2048, 512), 1))
-    save_checkpoint(ckpt_path, {
-        "epoch": 0, "params": variables["params"],
-        "batch_stats": variables.get("batch_stats", {}),
-        "val_loss": 0.0, "config": eng_cfg,
-        "class_weights": np.ones(4, np.float32),
-    })
-    engine = ClassifierEngine(ckpt_path)
-    frontend = engine.frontend
-    import shutil
-
-    shutil.rmtree(tmpdir, ignore_errors=True)  # engine holds the state now
-
-    host_clips = [
-        rng.standard_normal((frontend.target_length,)).astype(np.float32) * 0.1
-        for _ in range(4)
-    ]
-    clips = [jnp.asarray(c) for c in host_clips]
-    engine.warmup_latency()
-    for c in host_clips:  # warm every measured input (tunnel rules)
-        engine.classify_wave(c)
 
     # (1) e2e: the REAL serving call — host wav in, result dict out
     # (one dispatch + one packed fetch inside)
@@ -305,6 +317,71 @@ def bench_latency(reps: int) -> dict:
     cps = north.measure(fn128, inputs128, 128)
     out["batch128_clips_per_sec"] = round(cps, 1)
     out["batch128_amortized_ms_per_clip"] = round(1000.0 / cps, 4)
+    return out
+
+
+def bench_serving(n_requests: int, concurrencies=(1, 4, 16)) -> dict:
+    """Sustained-load serving (VERDICT r4 #7): p50/p99 per REQUEST, not a
+    scan-chain amortization.
+
+    A closed-loop driver keeps W requests in flight against the engine's
+    batch-1 program (`ClassifierEngine._packed1_fn` — the exact graph
+    classify_wave dispatches): each request is an async dispatch; its
+    latency clock stops when ITS OWN result has been fetched to the host.
+    Per concurrency level: p50/p99 latency and sustained request rate.
+
+    Through this session's tunnel every per-request fetch pays the RPC
+    floor (~25 ms), so the tunnel rows measure tunnel serving honestly;
+    `sustained_pipeline_req_per_s` amortizes the fetch over 64-deep
+    windows (result stays device-resident, one packed fetch per window) —
+    the rate a co-located server bounds to, with `colocated_p50_est_ms`
+    = on-chip per-inference + the LOCAL zero-work sync floor as the
+    co-located latency estimate (bench_latency's decomposition)."""
+    from collections import deque
+
+    engine, _host_clips, clips = _latency_engine()
+    out = {"n_requests": n_requests, "levels": {}}
+    for w in concurrencies:
+        for c in clips:  # re-warm (tunnel rules)
+            np.asarray(engine._packed1_fn(c))
+        q: deque = deque()
+        lat = []
+        t_start = time.perf_counter()
+        for i in range(n_requests):
+            t0 = time.perf_counter()
+            q.append((t0, engine._packed1_fn(clips[i % len(clips)])))
+            if len(q) >= w:
+                t0o, y = q.popleft()
+                np.asarray(y)  # this request's own result on the host
+                lat.append((time.perf_counter() - t0o) * 1000)
+        while q:
+            t0o, y = q.popleft()
+            np.asarray(y)
+            lat.append((time.perf_counter() - t0o) * 1000)
+        wall = time.perf_counter() - t_start
+        lat.sort()
+        out["levels"][str(w)] = {
+            "p50_ms": round(lat[len(lat) // 2], 2),
+            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2),
+            "req_per_s": round(n_requests / wall, 1),
+        }
+        print(f"  serving W={w}: {out['levels'][str(w)]}", flush=True)
+
+    # sustained pipeline rate: async dispatches, one packed fetch per
+    # 64-deep window — the fetch RPC amortized as a co-located server would
+    window = 64
+    reps = max(window * 4, n_requests)
+    for c in clips:
+        np.asarray(engine._packed1_fn(c))
+    t0 = time.perf_counter()
+    y = None
+    for i in range(reps):
+        y = engine._packed1_fn(clips[i % len(clips)])
+        if (i + 1) % window == 0:
+            np.asarray(y)
+    np.asarray(y)
+    out["sustained_pipeline_req_per_s"] = round(
+        reps / (time.perf_counter() - t0), 1)
     return out
 
 
@@ -409,6 +486,32 @@ def write_report(results: dict) -> None:
     m = results["memory"]
     a = results["accuracy"]
     plat = results["platform"]
+    sv = results.get("serving")
+    serving_row = ""
+    serving_note = ""
+    if sv:
+        lv = sv["levels"]
+        cells = "; ".join(
+            f"W={w}: p50 {v['p50_ms']} / p99 {v['p99_ms']} ms at "
+            f"{v['req_per_s']} req/s" for w, v in lv.items())
+        serving_row = (
+            f"| Sustained serving, batch 1 (closed loop, per-request "
+            f"fetch) | — (no serving claim; ~10-20 ms/sample implies "
+            f"50-100 req/s) | {cells}; pipelined window: "
+            f"**{sv['sustained_pipeline_req_per_s']} req/s** sustained | "
+            f"**{sv['sustained_pipeline_req_per_s'] / 100:.0f}x** req-rate |\n")
+        serving_note = (
+            "\n- Serving methodology (bench_serving): a closed-loop driver"
+            " keeps W requests in flight against the engine's batch-1"
+            " program; a request's latency stops when ITS OWN result is on"
+            " the host, so through this tunnel every request pays the"
+            f" ~{l['sync_rpc_floor_ms_median']} ms RPC floor — the p50/p99"
+            " rows are tunnel-serving truth, not chip truth. The pipelined-"
+            "window rate amortizes the fetch 64-deep (device-resident"
+            " results, one packed fetch per window) — the sustained rate a"
+            " co-located server is bounded by; its per-request latency"
+            f" estimate is {l.get('batch1_colocated_est_ms', '—')} ms"
+            " (on-chip compute + local sync floor).\n")
 
     def speed(ours_s):
         return REF["train_100_epochs_s"][0] / ours_s
@@ -433,7 +536,7 @@ i5-12500H, 16GB DDR4; see BASELINE.md). Raw data:
 | Metric | Reference (RTX 3050) | This framework (TPU v5e, 1 chip) | Ratio |
 |---|---|---|---|
 {train_rows}| Inference latency, batch 1 (8 s clip) | {REF['inference_latency_ms'][1]} | **{l['batch1_onchip_ms']} ms on-chip** ({l.get('batch1_colocated_est_ms', '—')} ms co-located est.); {l['batch1_e2e_ms_median']} ms e2e through the tunnel, of which the zero-work RPC floor is {l['sync_rpc_floor_ms_median']} ms; {l['batch128_amortized_ms_per_clip']} ms/clip amortized at batch 128 | **{REF['inference_latency_ms'][0] / max(l['batch1_onchip_ms'], 1e-6):.0f}x on-chip** |
-| Peak device memory (training) | {REF['peak_vram_gb'][1]} | {m['train_peak_gb']} GB incl. the HBM-resident dataset cache ({m['dataset_cache_bytes'] / 1024**3:.2f} GB); {m['train_peak_no_cache_gb']} GB without it | within budget |
+{serving_row}| Peak device memory (training) | {REF['peak_vram_gb'][1]} | {m['train_peak_gb']} GB incl. the HBM-resident dataset cache ({m['dataset_cache_bytes'] / 1024**3:.2f} GB); {m['train_peak_no_cache_gb']} GB without it | within budget |
 | Peak device memory (inference, batch 128) | — | {m['inference_peak_gb']} GB | — |
 | Validation accuracy | {REF['val_acc_pct'][1]} | {a['val_acc_pct_mean']} ± {a['val_acc_pct_std']} % ({a['seeds']} seeds, {a['arm']}) on the synthetic stand-in — real ICBHI not in this image; ICBHI score {a['icbhi_score_mean']} | in band |
 
@@ -475,7 +578,7 @@ Notes:
   committed `accuracy_bench` sweep (ACCURACY.md) on the hard synthetic
   regimes is the stand-in, and `accuracy_bench.py --data <root>`
   reruns the identical protocol on the real corpus when available.
-"""
+{serving_note}"""
     (HERE / "HEADLINE.md").write_text(md)
     print(md)
 
@@ -490,6 +593,9 @@ def main() -> None:
                     help="reuse the training block from an existing "
                          "headline_results.json (iterate on the cheap parts)")
     ap.add_argument("--latency-reps", type=int, default=30)
+    ap.add_argument("--serving-requests", type=int, default=256,
+                    help="closed-loop requests per concurrency level "
+                         "(bench_serving)")
     args = ap.parse_args()
 
     import jax
@@ -503,6 +609,8 @@ def main() -> None:
         results["training"] = bench_training(args.epochs, args.per_class)
     print("== latency ==", flush=True)
     results["latency"] = bench_latency(args.latency_reps)
+    print("== serving (sustained load) ==", flush=True)
+    results["serving"] = bench_serving(args.serving_requests)
     print("== memory ==", flush=True)
     results["memory"] = bench_memory(args.per_class)
     results["accuracy"] = read_accuracy()

@@ -3,12 +3,13 @@
 
 Contract matches reference interactive_analyzer.py:14-236: 1600x900 window,
 waveform + colored detection timeline with a live cursor, SPACE play/pause,
-R restart, ESC exit. Differences from the reference: the import of
+R restart, ESC exit. One difference from the reference: the import of
 BatchAudioAnalyzer points at realtime_analyzer_parallel_p where the class
 actually lives (the reference imported it from realtime_analyzer_parallel,
-which doesn't define it — a latent crash, SURVEY.md quirk ledger), and
-playback uses pygame.mixer since sounddevice isn't available (gated: the UI
-still runs without an audio device).
+which doesn't define it — a latent crash, SURVEY.md quirk ledger).
+Playback is strict-parity sounddevice-first (reference
+interactive_analyzer.py:161-194) with a pygame.mixer fallback and a silent
+last resort, so the UI still runs without an audio stack (VERDICT r4 #8).
 """
 
 import argparse
@@ -17,6 +18,68 @@ import numpy as np
 
 from audio_classification_icbhi_tpu.analyzers.viz import COLORS
 from realtime_analyzer_parallel_p import BatchAudioAnalyzer
+
+
+class Playback:
+    """Seekable one-shot playback of a mono float32 waveform.
+
+    Backend probe order: sounddevice (what the reference uses,
+    interactive_analyzer.py:161-194) -> pygame.mixer (always importable
+    here; honors SDL_AUDIODRIVER=dummy in CI) -> silent no-op. The chosen
+    backend name is in `.backend` ("none" when silent)."""
+
+    def __init__(self, audio: np.ndarray, sample_rate: int, pygame=None):
+        self.audio = np.asarray(audio, dtype=np.float32)
+        self.sample_rate = sample_rate
+        self.backend = "none"
+        self._sd = None
+        self._pg = None
+        self._sound = None
+        self._mixer_channels = 1
+        try:
+            import sounddevice as sd
+
+            sd.check_output_settings(samplerate=sample_rate, channels=1)
+            self._sd = sd
+            self.backend = "sounddevice"
+            return
+        except Exception:
+            pass
+        try:
+            if pygame is None:
+                import pygame
+            pygame.mixer.init(frequency=sample_rate, channels=1)
+            # the mixer may come up stereo regardless of the request
+            self._mixer_channels = (pygame.mixer.get_init() or (0, 0, 1))[2]
+            self._pg = pygame
+            self.backend = "pygame.mixer"
+        except Exception as e:
+            print(f"(audio playback unavailable: {e})")
+
+    def _pcm(self, samples: np.ndarray) -> np.ndarray:
+        pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+        if self._mixer_channels > 1:
+            pcm = np.repeat(pcm[:, None], self._mixer_channels, axis=1)
+        return np.ascontiguousarray(pcm)
+
+    def play_from(self, t: float) -> None:
+        start = int(t * self.sample_rate)
+        if start >= len(self.audio):
+            return
+        if self._sd is not None:
+            # reference semantics: sd.play replaces any current stream
+            self._sd.play(self.audio[start:], self.sample_rate)
+        elif self._pg is not None:
+            self._pg.mixer.stop()
+            self._sound = self._pg.sndarray.make_sound(
+                self._pcm(self.audio[start:]))
+            self._sound.play()
+
+    def stop(self) -> None:
+        if self._sd is not None:
+            self._sd.stop()
+        elif self._pg is not None:
+            self._pg.mixer.stop()
 
 
 class InteractiveAudioVisualizer:
@@ -46,27 +109,16 @@ class InteractiveAudioVisualizer:
             k: tuple(int(v[i : i + 2], 16) for i in (1, 3, 5)) for k, v in COLORS.items()
         }
 
-        # pygame.mixer playback (gated: keeps running without audio hardware)
-        self.sound = None
-        self._mixer_channels = 1
-        try:
-            pygame.mixer.init(frequency=sample_rate, channels=1)
-            # the mixer may come up stereo regardless of the request
-            self._mixer_channels = (pygame.mixer.get_init() or (0, 0, 1))[2]
-            self.sound = pygame.sndarray.make_sound(self._pcm(self.audio))
-        except Exception as e:
-            print(f"(audio playback unavailable: {e})")
+        # sounddevice-first playback with pygame fallback (Playback)
+        self.playback = Playback(self.audio, sample_rate, pygame)
+        if self.playback.backend != "none":
+            print(f"(audio playback: {self.playback.backend})")
+        self.frames_drawn = 0  # render-loop liveness, asserted by the UI test
 
         # precompute waveform polyline
         n_px = self.WIDTH - 100
         idx = np.linspace(0, len(self.audio) - 1, n_px).astype(int)
         self.wave_px = self.audio[idx]
-
-    def _pcm(self, samples: np.ndarray) -> np.ndarray:
-        pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
-        if self._mixer_channels > 1:
-            pcm = np.repeat(pcm[:, None], self._mixer_channels, axis=1)
-        return np.ascontiguousarray(pcm)
 
     def _label(self, r):
         if r.has_crackle and r.has_wheeze:
@@ -134,21 +186,19 @@ class InteractiveAudioVisualizer:
         return None
 
     def _play_from(self, t):
-        if self.sound is None:
-            return
-        self.pygame.mixer.stop()
-        start = int(t * self.sample_rate)
-        if start < len(self.audio):
-            self.sound = self.pygame.sndarray.make_sound(self._pcm(self.audio[start:]))
-            self.sound.play()
+        self.playback.play_from(t)
 
     def _stop(self):
-        if self.sound is not None:
-            self.pygame.mixer.stop()
+        self.playback.stop()
 
     def run(self):
+        import os
+
         pg = self.pygame
         clock = pg.time.Clock()
+        # CI hook: exit after N rendered frames (SDL dummy drivers have no
+        # human to press ESC) — 0/unset means run until the user quits
+        auto_exit = int(os.environ.get("ICBHI_UI_AUTOEXIT", "0") or 0)
         running = True
         while running:
             for event in pg.event.get():
@@ -171,6 +221,10 @@ class InteractiveAudioVisualizer:
             self.draw_timeline()
             self.draw_info()
             pg.display.flip()
+            self.frames_drawn += 1
+            if auto_exit and self.frames_drawn >= auto_exit:
+                print(f"UI auto-exit after {self.frames_drawn} frames")
+                running = False
             # advance by the ACTUAL frame time: a fixed 1/60 s per frame
             # drifts behind the real-time audio whenever rendering drops
             # below 60 fps (this box has one CPU core)

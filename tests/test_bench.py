@@ -46,10 +46,16 @@ def test_analytic_kernel_flops_sane():
     assert 2.0 < full / f32 < 3.2
     # each deeper DIF level removes real DFT work (equal 4-pass basis):
     # radix-16's K=128 cols ~0.52x radix-8's K=256 work
-    r8 = analytic_flops("radix8dif_fused", length, 2048, 512, 128)
-    r16 = analytic_flops("radix16dif_fused", length, 2048, 512, 128)
+    r8 = analytic_flops("radix8dif_fused", length, 2048, 512, 128, dft_passes=4)
+    r16 = analytic_flops("radix16dif_fused", length, 2048, 512, 128, dft_passes=4)
     assert r16 < r8 < r4, (r16, r8, r4)
-    assert 0.45 < (r16 / r8) < 0.75
+    # the shared 3-pass mel projection dilutes the DFT-only ~0.52 ratio
+    assert 0.45 < (r16 / r8) < 0.85
+    # production default is the 5-pass asymmetric split: strictly more
+    # counted work than 4, less than 6
+    r16_5 = analytic_flops("radix16dif_fused", length, 2048, 512, 128)
+    r16_6 = analytic_flops("radix16dif_fused", length, 2048, 512, 128, dft_passes=6)
+    assert r16 < r16_5 < r16_6
 
 
 def test_parity_battery_shapes():

@@ -193,9 +193,20 @@ def _run_full_trainer_procs(nproc: int, devs_per_proc: int, tmp_path,
     try:
         for pid, proc in enumerate(procs):
             stdout, _ = proc.communicate(timeout=540)
-            assert proc.returncode == expect_rc, f"pid {pid}:\n{stdout[-4000:]}"
             if expect_rc == 0:
+                assert proc.returncode == 0, f"pid {pid}:\n{stdout[-4000:]}"
                 assert f"TRAINER-OK pid={pid}" in stdout, stdout[-2000:]
+            else:
+                # kill phase: the process that reaches the kill point exits
+                # 17; peers may instead die on "leader task died" (exit 1)
+                # when the coordinator vanishes first — exactly what a real
+                # preemption looks like. What must NOT happen is a clean
+                # completion.
+                assert proc.returncode in (expect_rc, 1), \
+                    f"pid {pid} rc={proc.returncode}:\n{stdout[-4000:]}"
+                assert "TRAINER-OK" not in stdout, (
+                    f"pid {pid} completed training despite the kill:\n"
+                    + stdout[-2000:])
     finally:
         for proc in procs:
             if proc.poll() is None:

@@ -389,11 +389,10 @@ class TestPallasMel:
                            dft_passes=6)
 
     def test_invalid_pass_counts_raise(self):
-        """dft_passes=5 used to pass validation and silently run the
-        3-pass product (WEAKER than the 4-pass default the caller tried to
-        exceed); only {3, 4, 6} name real decompositions."""
+        """Out-of-set pass counts used to fall through to a weaker product
+        silently; only {3, 4, 5, 6} name real decompositions."""
         wav = jnp.zeros((2, SR), jnp.float32)
-        for bad in (2, 5, 7):
+        for bad in (2, 7):
             with pytest.raises(ValueError, match="must be 3 or 4"):
                 log_mel_pallas(wav, SR, N_FFT, HOP, N_MELS,
                                algorithm="radix16dif_fused", interpret=True,
@@ -416,7 +415,11 @@ class TestPallasMel:
                         dft_passes=6)
         with pytest.raises(ValueError, match="must be 3 or 4"):
             MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
-                        hop_length=HOP, duration=1.0, dft_passes=5)
+                        hop_length=HOP, duration=1.0, dft_passes=7)
+        # the asymmetric production split needs the DIF kernels too
+        with pytest.raises(ValueError, match="radix-8/16 DIF"):
+            MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=512,
+                        hop_length=128, duration=1.0, dft_passes=5)
         # the production shape accepts the opt-in
         fe = MelFrontend(sample_rate=SR, n_mels=N_MELS, n_fft=N_FFT,
                          hop_length=HOP, duration=1.0, dft_passes=6)
