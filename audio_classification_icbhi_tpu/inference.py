@@ -65,17 +65,36 @@ class ClassifierEngine:
         }
 
     @functools.cached_property
+    def _apply_fn(self):
+        """feats -> logits for the eval path.
+
+        On TPU with the LightweightCNN profile this routes block1 through
+        the fused Pallas conv+BN+ReLU+pool kernel (ops/pallas_conv.py) —
+        the roofline (ROOFLINE_r05.json) showed the eval conv stack
+        HBM-bound with block1 moving half the bytes. Elsewhere (CPU tests,
+        resnet checkpoints, non-standard shapes) it is the flax apply.
+        """
+        from audio_classification_icbhi_tpu.models import LightweightCNN
+        from audio_classification_icbhi_tpu.models.fused_infer import (
+            fused_apply_supported, make_fused_apply)
+
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        shape = (1, self.frontend.n_mels, self.frontend.num_frames, 1)
+        if (isinstance(self.model, LightweightCNN)
+                and jax.default_backend() == "tpu"
+                and fused_apply_supported(shape)):
+            return make_fused_apply(variables)
+        model = self.model
+        return lambda feats: model.apply(variables, feats, train=False)
+
+    @functools.cached_property
     def _probs_fn(self):
-        model, frontend = self.model, self.frontend
-        params, batch_stats = self.params, self.batch_stats
+        frontend, apply_fn = self.frontend, self._apply_fn
 
         @jax.jit
         def probs_fn(wavs):
             feats = features_from_wavs(frontend, wavs)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, feats, train=False
-            )
-            return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(apply_fn(feats), axis=-1)
 
         return probs_fn
 
@@ -93,15 +112,12 @@ class ClassifierEngine:
         Matches the reference's per-sample inference claim surface
         (reference README.md:159,178, cli.py:44-66).
         """
-        model, frontend = self.model, self.frontend
-        params, batch_stats = self.params, self.batch_stats
+        frontend, apply_fn = self.frontend, self._apply_fn
 
         @jax.jit
         def packed1(wav):  # (target_length,)
             feats = features_from_wavs(frontend, wav[None])
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, feats, train=False
-            )
+            logits = apply_fn(feats)
             probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
             arg = jnp.argmax(probs).astype(probs.dtype)
             return jnp.concatenate([probs, arg[None]])

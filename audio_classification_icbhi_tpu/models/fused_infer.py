@@ -1,0 +1,90 @@
+"""HBM-lean inference forward for LightweightCNN.
+
+The measured roofline (ROOFLINE_r05.json) shows the eval conv stack is
+HBM-bound and that block1 alone moves 3.29 MB/clip — half the stack's
+bytes — because its full-resolution pre-pool activation round-trips HBM.
+`make_fused_apply` builds a drop-in replacement for
+`model.apply(variables, feats, train=False)` that runs block1 through the
+fused Pallas kernel (ops/pallas_conv.py: conv+BN+ReLU+pool in one VMEM
+pass) and the remaining blocks through the same lax ops flax lowers to.
+
+Semantics match the reference CNN's eval path (reference
+src/models/cnn.py:24-29, 44-60): conv3x3 (pad 1, no bias) in bf16,
+BatchNorm with running stats, ReLU, maxpool 2x2, dropout inactive, global
+average pool, Dense 256->128->ReLU->Dense->num_classes, logits f32.
+Numerics are bf16-grade like the flax path (which also convolves in
+bf16); tests pin fused-vs-flax logits agreement.
+
+Use it for inference-only paths (bench.py, inference engine). Training
+and anything needing AD or batch-stat updates stays on flax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_conv import fused_conv_block1
+
+_BN_EPS = 1e-5  # flax/torch default, models/cnn.py:57
+
+
+def _conv_bn_relu_pool(x, kernel, scale, bias, mean, var):
+    """One eval-mode ConvBlock via lax (blocks 2-5), bf16 compute."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), jnp.asarray(kernel, jnp.bfloat16),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    s = jnp.asarray(scale) * jax.lax.rsqrt(jnp.asarray(var) + _BN_EPS)
+    t = jnp.asarray(bias) - jnp.asarray(mean) * s
+    y = jnp.maximum(y * s.astype(y.dtype) + t.astype(y.dtype), 0)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def make_fused_apply(variables, *, interpret: bool = False):
+    """Return fn(feats (B, H, W, 1) f32) -> logits (B, num_classes) f32.
+
+    `variables` is the LightweightCNN variables tree ({'params', 'batch_stats'}).
+    The returned fn is jittable; Pallas constants are folded on the host
+    from the concrete weights, so build it once per checkpoint.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    b1p, b1s = params["ConvBlock_0"], stats["ConvBlock_0"]["BatchNorm_0"]
+
+    def apply_fn(feats):
+        x = fused_conv_block1(
+            feats, b1p["Conv_0"]["kernel"],
+            b1p["BatchNorm_0"]["scale"], b1p["BatchNorm_0"]["bias"],
+            b1s["mean"], b1s["var"], eps=_BN_EPS, interpret=interpret,
+        )
+        for i in range(1, 5):
+            blk = f"ConvBlock_{i}"
+            x = _conv_bn_relu_pool(
+                x, params[blk]["Conv_0"]["kernel"],
+                params[blk]["BatchNorm_0"]["scale"],
+                params[blk]["BatchNorm_0"]["bias"],
+                stats[blk]["BatchNorm_0"]["mean"],
+                stats[blk]["BatchNorm_0"]["var"],
+            )
+        x = jnp.mean(x, axis=(1, 2))                      # GAP -> (B, 256)
+        d0, d1 = params["Dense_0"], params["Dense_1"]
+        x = x.astype(jnp.bfloat16) @ d0["kernel"].astype(jnp.bfloat16)
+        x = jnp.maximum(x + d0["bias"].astype(x.dtype), 0)
+        x = x @ d1["kernel"].astype(jnp.bfloat16) + d1["bias"].astype(jnp.bfloat16)
+        return x.astype(jnp.float32)
+
+    return apply_fn
+
+
+def fused_apply_supported(feats_shape) -> bool:
+    """True when the Pallas block1 profile covers this feature shape."""
+    if len(feats_shape) != 4:
+        return False
+    _, h, w, c = feats_shape
+    return c == 1 and h % 16 == 0 and h >= 32 and w >= 4

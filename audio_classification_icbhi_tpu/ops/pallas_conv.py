@@ -1,0 +1,161 @@
+"""Fused first-ConvBlock Pallas kernel: conv3x3 + BN + ReLU + maxpool2x2.
+
+Why this exists: the measured CNN-stage roofline (ROOFLINE_r05.json,
+benchmarks/cnn_roofline.py) shows the inference conv stack is
+HBM-bandwidth-bound (80.7% of v5e streaming peak at batch 128) and that
+block1 is the worst offender — 3.29 MB of HBM traffic per clip against an
+80 KB input and a 319 KB output, because XLA materializes the
+full-resolution (128, 157, 32) pre-pool activation to HBM and reads it
+back for the pool (its reduce-window cannot fuse into the conv producer).
+This kernel keeps that intermediate entirely in VMEM: HBM sees only the
+input image and the pooled output (~8x fewer bytes).
+
+Capability match: the first ConvBlock of the reference CNN
+(reference src/models/cnn.py:24-29 — Conv3x3(pad 1, no bias) -> BatchNorm
+-> ReLU -> MaxPool2) in inference mode (running BN stats; dropout off).
+
+TPU-native formulation (all index math verified in numpy at 7e-15 before
+kerneling, the house rule):
+
+- The 3x3 single-input-channel conv is a BANDED MATMUL over row tiles.
+  For each 16-row tile of the (H=n_mels, W=frames) image we build
+  Xs (64, W): three 18-row slices of the W-shifted copies of the image
+  (rows = dw*18 + r, covering the tile plus a one-row halo), one ones-row
+  that carries the folded BN bias through the matmul, and zero fill.
+  A single constant A (512, 64) = [parity*256 + c*8 + h2, dw*18 + h + dh]
+  holds the BN-scale-folded conv taps; A @ Xs yields all 32 channels x 16
+  rows of pre-pool activations for the tile in ONE MXU pass. The band
+  pattern is tile-invariant, so one A serves every tile.
+- Shift discipline: Mosaic cannot slice VMEM lanes at unaligned offsets
+  (see ops/pallas_mel.py's 128-alignment rule), so every slice/concat in
+  the scheme lands on SUBLANES; the only lane-axis ops are pltpu.roll
+  (+/-1 for the conv's W taps and the pool's pair max), which Mosaic
+  supports at any width.
+- Pooling: rows of A are ordered parity-major (h even rows in N[:256],
+  h odd in N[256:]), so the H-direction 2x2-pool half is
+  max(OUT[:256], OUT[256:]) — one clean sublane slice, no strided access.
+  The W direction pairs via a masked lane roll, then compacts even lanes
+  with a 0/1 selection matmul (exact in bf16).
+- Numerics: BN scale/bias are folded into the taps in f64 on the host;
+  the matmul runs bf16 x bf16 -> f32 (same class as the flax path, which
+  convolves in bf16), ReLU/max in f32, output cast to bf16.
+
+The raw kernel output is (B, H/16, 256, W/2) with rows c*8 + h2; the
+public wrapper reshapes to NHWC for the downstream flax/lax blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 16          # image rows per matmul tile
+_COUT = 32          # block1 output channels (reference src/models/cnn.py:47)
+_N = 2 * _COUT * (_TILE // 2)   # 512 = parity * channel * pooled-row
+_K = 3 * (_TILE + 2) + 1        # 54 tap rows + 1 bias row
+_KPAD = 64
+
+
+def _constants_block1(conv_kernel: np.ndarray, scale: np.ndarray,
+                      bias: np.ndarray) -> np.ndarray:
+    """Banded tap matrix A (512, 64) bf16 with BN scale folded and bias row.
+
+    conv_kernel: flax HWIO (3, 3, 1, COUT); scale/bias: folded BN affine
+    (f64): y = conv(x) * scale + bias.
+    """
+    w = np.asarray(conv_kernel, np.float64)[:, :, 0, :] * np.asarray(scale)[None, None, :]
+    a = np.zeros((_N, _KPAD), np.float32)
+    for dw in range(3):
+        for dh in range(3):
+            for par in range(2):
+                for h2 in range(_TILE // 2):
+                    r = 2 * h2 + par + dh
+                    a[par * 256 + np.arange(_COUT) * 8 + h2, dw * 18 + r] = w[dh, dw]
+    for par in range(2):
+        for h2 in range(_TILE // 2):
+            a[par * 256 + np.arange(_COUT) * 8 + h2, _K - 1] = np.asarray(bias)
+    return a.astype(jnp.bfloat16)
+
+
+def _selection_matrix(w: int) -> np.ndarray:
+    """0/1 compaction matrix (W, W//2) picking even lanes (exact in bf16)."""
+    c = np.zeros((w, w // 2), np.float32)
+    c[2 * np.arange(w // 2), np.arange(w // 2)] = 1.0
+    return c.astype(jnp.bfloat16)
+
+
+def _kernel_block1(x_ref, a_ref, c_ref, out_ref, *, w: int, tiles: int):
+    xf = x_ref[0]                                         # (H, W) f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    # x_dw[w] = x[w + dw - 1], zero at the image edge (roll wraps, so the
+    # wrapped lane is overwritten explicitly). Mosaic only rotates 32-bit
+    # data, so roll in f32 and cast after.
+    x_p1 = jnp.where(lane == 0, 0.0, pltpu.roll(xf, 1, axis=1)).astype(jnp.bfloat16)
+    # pltpu.roll requires non-negative shifts: roll by w-1 == roll by -1
+    x_m1 = jnp.where(lane == w - 1, 0.0, pltpu.roll(xf, w - 1, axis=1)).astype(jnp.bfloat16)
+    copies = (x_p1, xf.astype(jnp.bfloat16), x_m1)
+    a = a_ref[...]
+    ones = jnp.ones((1, w), jnp.bfloat16)
+    zero1 = jnp.zeros((1, w), jnp.bfloat16)
+    fill = jnp.zeros((_KPAD - _K, w), jnp.bfloat16)
+    for t in range(tiles):
+        h0 = t * _TILE
+        pieces = []
+        for xd in copies:
+            if t == 0:                       # halo row h = -1 is zero
+                pieces.append(jnp.concatenate([zero1, xd[:_TILE + 1]], axis=0))
+            elif t == tiles - 1:             # halo row h = H is zero
+                pieces.append(jnp.concatenate([xd[h0 - 1:h0 + _TILE], zero1], axis=0))
+            else:
+                pieces.append(xd[h0 - 1:h0 + _TILE + 1])
+        xs = jnp.concatenate(pieces + [ones, fill], axis=0)          # (64, W)
+        out = jax.lax.dot_general(a, xs, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        y = jnp.maximum(out, 0.0)                                    # (512, W)
+        ph = jnp.maximum(y[:256], y[256:])                           # H-pool
+        rolled = jnp.where(lane == w - 1, 0.0, pltpu.roll(ph, w - 1, axis=1))
+        pw = jnp.maximum(ph, rolled).astype(jnp.bfloat16)            # W pairs
+        pooled = jax.lax.dot_general(pw, c_ref[...], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        out_ref[0, t] = pooled.astype(jnp.bfloat16)
+
+
+def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                      *, eps: float = 1e-5, interpret: bool = False):
+    """Fused inference block1: (B, H, W, 1) f32 -> (B, H//2, W//2, 32) bf16.
+
+    conv_kernel (3, 3, 1, 32) HWIO and the BatchNorm eval-mode parameters
+    come straight from the flax variables tree (models/fused_infer.py).
+    Requires H % 16 == 0, H >= 32, W >= 4 (production mel: H=128, W=157).
+    """
+    b, h, w, cin = feats.shape
+    if cin != 1 or conv_kernel.shape != (3, 3, 1, _COUT):
+        raise ValueError("fused_conv_block1 handles the 1->32 3x3 block only")
+    if h % _TILE or h < 2 * _TILE or w < 4:
+        raise ValueError(f"unsupported feature shape {(h, w)}")
+    s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
+    t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
+    a = _constants_block1(np.asarray(conv_kernel), s, t)
+    cmat = _selection_matrix(w)
+    tiles = h // _TILE
+    out = pl.pallas_call(
+        functools.partial(_kernel_block1, w=w, tiles=tiles),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N, _KPAD), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w // 2), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tiles, 256, w // 2), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tiles, 256, w // 2), jnp.bfloat16),
+        interpret=interpret,
+    )(feats[..., 0], jnp.asarray(a), jnp.asarray(cmat))
+    # rows are c*8 + h2 per tile: -> (B, H/2, W/2, C) NHWC for the next block
+    y = out.reshape(b, tiles, _COUT, _TILE // 2, w // 2)
+    return y.transpose(0, 1, 3, 4, 2).reshape(b, h // 2, w // 2, _COUT)

@@ -40,9 +40,23 @@ def build_pipeline(batch: int, backend: str = "auto",
         dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
 
+    # Production inference path on TPU: Pallas-fused block1 (conv+BN+ReLU+
+    # pool in one VMEM pass — the roofline showed the conv stack HBM-bound,
+    # ROOFLINE_r05.json). BENCH_FUSED_CNN=0 opts out for A/B runs.
+    import os
+
+    from audio_classification_icbhi_tpu.models.fused_infer import (
+        fused_apply_supported, make_fused_apply)
+
+    if (jax.default_backend() == "tpu" and fused_apply_supported(dummy.shape)
+            and os.environ.get("BENCH_FUSED_CNN", "1") != "0"):
+        apply_fn = make_fused_apply(variables)
+    else:
+        apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731
+
     @jax.jit
     def wav_to_logits(wavs):
-        return model.apply(variables, features_from_wavs(frontend, wavs), train=False)
+        return apply_fn(features_from_wavs(frontend, wavs))
 
     rng = np.random.default_rng(0)
     # rotate distinct device-resident inputs and end with a REAL data fetch:

@@ -1,0 +1,107 @@
+"""Fused inference CNN (Pallas block1 + lax tail) vs the flax eval path.
+
+Interpret mode on CPU; the compiled kernel is exercised on the real chip
+by bench.py (which uses make_fused_apply on TPU) and the stage bench.
+Reference semantics: eval-mode ConvBlock of the reference CNN
+(reference src/models/cnn.py:24-29) — conv3x3 pad 1 no bias, BatchNorm
+running stats, ReLU, maxpool2x2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_classification_icbhi_tpu.models import LightweightCNN
+from audio_classification_icbhi_tpu.models.fused_infer import (
+    fused_apply_supported,
+    make_fused_apply,
+)
+from audio_classification_icbhi_tpu.ops.pallas_conv import fused_conv_block1
+
+
+def _variables(rng, shape=(1, 128, 157, 1)):
+    m = LightweightCNN(num_classes=4, dtype=jnp.bfloat16)
+    v = dict(m.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32), train=False))
+    # non-trivial running stats: freshly-initialized mean=0/var=1 would hide
+    # folding bugs
+    for st in v["batch_stats"].values():
+        n = st["BatchNorm_0"]["mean"].shape[0]
+        st["BatchNorm_0"]["mean"] = jnp.asarray(
+            rng.standard_normal(n).astype(np.float32) * 0.1)
+        st["BatchNorm_0"]["var"] = jnp.asarray(
+            rng.random(n).astype(np.float32) * 0.5 + 0.5)
+    return m, v
+
+
+def _block1_f64(x, kernel, scale, bias, mean, var, eps=1e-5):
+    """f64 numpy ground truth: conv3x3 + BN affine + relu + maxpool2."""
+    x = np.asarray(x, np.float64)[..., 0]
+    k = np.asarray(kernel, np.float64)[:, :, 0, :]
+    s = np.asarray(scale, np.float64) / np.sqrt(np.asarray(var, np.float64) + eps)
+    t = np.asarray(bias, np.float64) - np.asarray(mean, np.float64) * s
+    b, h, w = x.shape
+    xp = np.zeros((b, h + 2, w + 2))
+    xp[:, 1:-1, 1:-1] = x
+    conv = np.zeros((b, h, w, k.shape[-1]))
+    for dh in range(3):
+        for dw in range(3):
+            conv += xp[:, dh:dh + h, dw:dw + w, None] * k[dh, dw][None, None, None]
+    y = np.maximum(conv * s + t, 0.0)
+    out = np.zeros((b, h // 2, w // 2, k.shape[-1]))
+    for i in range(h // 2):
+        for j in range(w // 2):
+            out[:, i, j] = y[:, 2 * i:2 * i + 2, 2 * j:2 * j + 2].reshape(
+                b, 4, -1).max(1)
+    return out
+
+
+class TestFusedBlock1:
+    @pytest.mark.parametrize("shape", [(3, 128, 157, 1), (2, 128, 64, 1),
+                                       (1, 32, 9, 1)])
+    def test_matches_f64_reference(self, rng, shape):
+        m, v = _variables(rng)
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        p = v["params"]["ConvBlock_0"]
+        s = v["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]
+        got = np.asarray(fused_conv_block1(
+            x, p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
+            p["BatchNorm_0"]["bias"], s["mean"], s["var"], interpret=True),
+            np.float64)
+        ref = _block1_f64(x, p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
+                          p["BatchNorm_0"]["bias"], s["mean"], s["var"])
+        assert got.shape == ref.shape
+        # bf16-grade agreement (the flax path also convolves in bf16)
+        np.testing.assert_allclose(got, ref, atol=2e-2 * max(1, np.abs(ref).max()))
+
+    def test_rejects_unsupported_shapes(self, rng):
+        m, v = _variables(rng)
+        p = v["params"]["ConvBlock_0"]
+        s = v["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]
+        with pytest.raises(ValueError):
+            fused_conv_block1(
+                jnp.zeros((1, 120, 157, 1)), p["Conv_0"]["kernel"],
+                p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                s["mean"], s["var"], interpret=True)
+        assert not fused_apply_supported((1, 120, 157, 1))
+        assert not fused_apply_supported((1, 128, 157, 2))
+        assert fused_apply_supported((1, 128, 157, 1))
+
+
+class TestFusedApply:
+    def test_logits_match_flax(self, rng):
+        m, v = _variables(rng)
+        feats = jnp.asarray(rng.standard_normal((4, 128, 157, 1)).astype(np.float32))
+        ref = np.asarray(m.apply(v, feats, train=False))
+        got = np.asarray(make_fused_apply(v, interpret=True)(feats))
+        # both paths are bf16 pipelines; they differ only in block1's
+        # accumulation order (measured 1.2e-4 at init-scale weights)
+        np.testing.assert_allclose(got, ref, atol=5e-3)
+
+    def test_jittable_and_flexible_width(self, rng):
+        m, v = _variables(rng)
+        fn = jax.jit(make_fused_apply(v, interpret=True))
+        feats = jnp.asarray(rng.standard_normal((2, 128, 96, 1)).astype(np.float32))
+        ref = np.asarray(m.apply(v, feats, train=False))
+        got = np.asarray(fn(feats))
+        np.testing.assert_allclose(got, ref, atol=5e-3)
