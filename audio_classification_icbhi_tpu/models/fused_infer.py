@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_conv import fused_conv_block1
+from ..ops.pallas_conv import fused_conv_block1, fused_conv_block2
 
 _BN_EPS = 1e-5  # flax/torch default, models/cnn.py:57
 
@@ -57,13 +57,24 @@ def make_fused_apply(variables, *, interpret: bool = False):
     stats = variables["batch_stats"]
     b1p, b1s = params["ConvBlock_0"], stats["ConvBlock_0"]["BatchNorm_0"]
 
+    b2p, b2s = params["ConvBlock_1"], stats["ConvBlock_1"]["BatchNorm_0"]
+
     def apply_fn(feats):
         x = fused_conv_block1(
             feats, b1p["Conv_0"]["kernel"],
             b1p["BatchNorm_0"]["scale"], b1p["BatchNorm_0"]["bias"],
             b1s["mean"], b1s["var"], eps=_BN_EPS, interpret=interpret,
         )
-        for i in range(1, 5):
+        if x.shape[1] % 2 == 0 and x.shape[1] >= 4 and x.shape[2] >= 4:
+            x = fused_conv_block2(
+                x, b2p["Conv_0"]["kernel"],
+                b2p["BatchNorm_0"]["scale"], b2p["BatchNorm_0"]["bias"],
+                b2s["mean"], b2s["var"], eps=_BN_EPS, interpret=interpret,
+            )
+            start = 2
+        else:
+            start = 1
+        for i in range(start, 5):
             blk = f"ConvBlock_{i}"
             x = _conv_bn_relu_pool(
                 x, params[blk]["Conv_0"]["kernel"],

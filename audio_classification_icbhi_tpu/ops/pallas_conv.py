@@ -125,6 +125,125 @@ def _kernel_block1(x_ref, a_ref, c_ref, out_ref, *, w: int, tiles: int):
         out_ref[0, t] = pooled.astype(jnp.bfloat16)
 
 
+def _constants_block2(conv_kernel: np.ndarray, scale: np.ndarray,
+                      bias: np.ndarray):
+    """Tap matrices for the packed-lane block2 scheme.
+
+    Returns (B3, bias_row, Cmat): B3 (3, 128, 128) bf16 with rows
+    w'rel*32 + ci and cols 2*co + wpar — entry k[dh, w'rel-wpar, ci, co]
+    (zero when w'rel-wpar is outside the 3x3 kernel), BN scale folded;
+    bias_row (1, 128) f32 with bias[co] at col 2*co+wpar; Cmat (128, 64)
+    bf16 selecting even lanes (the wpar pool compaction).
+    """
+    kf = (np.asarray(conv_kernel, np.float64)
+          * np.asarray(scale)[None, None, None, :])           # (3,3,32,64)
+    b3 = np.zeros((3, 128, 128), np.float32)
+    for dh in range(3):
+        for wrel in range(4):
+            for wpar in range(2):
+                dw = wrel - wpar
+                if 0 <= dw <= 2:
+                    # fancy index separated by a slice puts the fancy axis
+                    # first in the indexing result -> assign (64, 32)
+                    b3[dh, wrel * 32:(wrel + 1) * 32,
+                       2 * np.arange(64) + wpar] = kf[dh, dw].T
+    bias_row = np.repeat(np.asarray(bias, np.float64), 2)[None, :].astype(np.float32)
+    cmat = np.zeros((128, 64), np.float32)
+    cmat[2 * np.arange(64), np.arange(64)] = 1.0
+    return (b3.astype(jnp.bfloat16), bias_row, cmat.astype(jnp.bfloat16))
+
+
+def _kernel_block2(x_ref, b_ref, bias_ref, c_ref, out_ref, *, h: int, ln: int):
+    """Fused 32->64ch ConvBlock on a (W, CI)-lane-packed image.
+
+    x_ref (1, h, ln) f32: lane = w*32 + ci, W pre-padded with zero columns
+    to ln/32 (mult of 4). Each output column pair (w2 = 2w2+wpar) reads a
+    128-lane window at 64*w2 - 32; rolling the image +-32 lanes makes the
+    even-w2 (resp. odd-w2) windows 128-aligned, so an unfold reshape
+    (h+2, ln) -> ((h+2)*ln/128, 128) exposes every window as a row and the
+    conv becomes 3 dense (h*nj, 128) @ (128, 128) matmuls per parity
+    family (rows (h', j); the dh shift is a row slice). Pooling: H via a
+    rows-merge reshape + 128-aligned lane max, W via lane roll + even-lane
+    selection matmul. All shifts land on sublanes or whole-lane rolls —
+    same discipline as block1.
+    """
+    nj = ln // 128
+    xf = x_ref[0]                                          # (h, ln) f32
+    zrow = jnp.zeros((1, ln), jnp.float32)
+    xfp = jnp.concatenate([zrow, xf, zrow], axis=0)        # rows h' = -1..h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, ln), 1)
+    xr_e = jnp.where(lane < 32, 0.0, pltpu.roll(xfp, 32, axis=1))
+    xr_o = jnp.where(lane >= ln - 32, 0.0, pltpu.roll(xfp, ln - 32, axis=1))
+    bias = bias_ref[...]                                   # (1, 128) f32
+    for f, xr in enumerate((xr_e, xr_o)):
+        r = xr.reshape((h + 2) * nj, 128).astype(jnp.bfloat16)
+        out = None
+        for dh in range(3):
+            part = jax.lax.dot_general(
+                r[dh * nj:dh * nj + h * nj], b_ref[dh],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            out = part if out is None else out + part
+        y = jnp.maximum(out + bias, 0.0)                   # (h*nj, 128)
+        m = y.reshape(h, nj * 128).reshape(h // 2, 2 * nj * 128)
+        hp = jnp.maximum(m[:, :nj * 128], m[:, nj * 128:])  # (h/2, ln)
+        u = hp.reshape((h // 2) * nj, 128)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        rolled = jnp.where(lane128 == 127, 0.0, pltpu.roll(u, 127, axis=1))
+        pw = jnp.maximum(u, rolled).astype(jnp.bfloat16)
+        pooled = jax.lax.dot_general(pw, c_ref[...], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        out_ref[0, f] = pooled.astype(jnp.bfloat16)        # (h/2*nj, 64)
+
+
+def fused_conv_block2(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                      *, eps: float = 1e-5, interpret: bool = False):
+    """Fused inference block2: (B, H, W, 32) -> (B, H//2, W//2, 64) bf16.
+
+    Same contract as ConvBlock_1 eval (reference src/models/cnn.py:24-29).
+    Requires H even >= 4, W >= 4, CI == 32, CO == 64 (the window packing
+    4 w-values x 32 ci == 128 lanes and 2 x 64 co == 128 output columns
+    are exact).
+    """
+    b, h, w, ci = x.shape
+    if ci != 32 or conv_kernel.shape != (3, 3, 32, 64):
+        raise ValueError("fused_conv_block2 handles the 32->64 3x3 block only")
+    if h % 2 or h < 4 or w < 4:
+        raise ValueError(f"unsupported input shape {(h, w)}")
+    s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
+    t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
+    b3, bias_row, cmat = _constants_block2(np.asarray(conv_kernel), s, t)
+    wp = -((-(w + 2)) // 4) * 4
+    ln = wp * 32
+    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, wp - w), (0, 0))
+                 ).reshape(b, h, ln)
+    nj = ln // 128
+    out = pl.pallas_call(
+        functools.partial(_kernel_block2, h=h, ln=ln),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, ln), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, 128), lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 64), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, (h // 2) * nj, 64), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, (h // 2) * nj, 64), jnp.bfloat16),
+        interpret=interpret,
+    )(xf, jnp.asarray(b3), jnp.asarray(bias_row), jnp.asarray(cmat))
+    # families: w2 even from f=0 (j -> w2=2j), odd from f=1 (w2=2j+1)
+    h2, w2 = h // 2, w // 2
+    fam = out.reshape(b, 2, h2, nj, 64)
+    ne, no = (w2 + 1) // 2, w2 // 2
+    pe, po = fam[:, 0, :, :ne], fam[:, 1, :, :no]
+    if ne > no:
+        inter = jnp.stack([pe[:, :, :no], po], axis=3).reshape(b, h2, 2 * no, 64)
+        y = jnp.concatenate([inter, pe[:, :, no:]], axis=2)
+    else:
+        y = jnp.stack([pe, po], axis=3).reshape(b, h2, 2 * no, 64)
+    return y
+
+
 def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
                       *, eps: float = 1e-5, interpret: bool = False):
     """Fused inference block1: (B, H, W, 1) f32 -> (B, H//2, W//2, 32) bf16.

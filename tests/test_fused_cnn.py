@@ -17,7 +17,10 @@ from audio_classification_icbhi_tpu.models.fused_infer import (
     fused_apply_supported,
     make_fused_apply,
 )
-from audio_classification_icbhi_tpu.ops.pallas_conv import fused_conv_block1
+from audio_classification_icbhi_tpu.ops.pallas_conv import (
+    fused_conv_block1,
+    fused_conv_block2,
+)
 
 
 def _variables(rng, shape=(1, 128, 157, 1)):
@@ -86,6 +89,53 @@ class TestFusedBlock1:
         assert not fused_apply_supported((1, 120, 157, 1))
         assert not fused_apply_supported((1, 128, 157, 2))
         assert fused_apply_supported((1, 128, 157, 1))
+
+
+class TestFusedBlock2:
+    @pytest.mark.parametrize("shape", [(2, 64, 78, 32), (1, 64, 77, 32),
+                                       (1, 8, 9, 32)])
+    def test_matches_f64_reference(self, rng, shape):
+        _, v = _variables(rng)
+        p = v["params"]["ConvBlock_1"]
+        s = v["batch_stats"]["ConvBlock_1"]["BatchNorm_0"]
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        got = np.asarray(fused_conv_block2(
+            x, p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
+            p["BatchNorm_0"]["bias"], s["mean"], s["var"], interpret=True),
+            np.float64)
+        # f64 ground truth via the same helper, generalized to 32 channels
+        xx = np.asarray(x, np.float64)
+        k = np.asarray(p["Conv_0"]["kernel"], np.float64)
+        sc = (np.asarray(p["BatchNorm_0"]["scale"], np.float64)
+              / np.sqrt(np.asarray(s["var"], np.float64) + 1e-5))
+        t = (np.asarray(p["BatchNorm_0"]["bias"], np.float64)
+             - np.asarray(s["mean"], np.float64) * sc)
+        b, h, w, ci = xx.shape
+        xp = np.zeros((b, h + 2, w + 2, ci))
+        xp[:, 1:-1, 1:-1] = xx
+        conv = np.zeros((b, h, w, 64))
+        for dh in range(3):
+            for dw in range(3):
+                conv += np.einsum("bhwc,co->bhwo",
+                                  xp[:, dh:dh + h, dw:dw + w], k[dh, dw])
+        y = np.maximum(conv * sc + t, 0.0)
+        ref = np.zeros((b, h // 2, w // 2, 64))
+        for i in range(h // 2):
+            for j in range(w // 2):
+                ref[:, i, j] = y[:, 2 * i:2 * i + 2,
+                                 2 * j:2 * j + 2].reshape(b, 4, 64).max(1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-2 * max(1, np.abs(ref).max()))
+
+    def test_rejects_wrong_channels(self, rng):
+        _, v = _variables(rng)
+        p = v["params"]["ConvBlock_1"]
+        s = v["batch_stats"]["ConvBlock_1"]["BatchNorm_0"]
+        with pytest.raises(ValueError):
+            fused_conv_block2(
+                jnp.zeros((1, 64, 78, 64)), p["Conv_0"]["kernel"],
+                p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                s["mean"], s["var"], interpret=True)
 
 
 class TestFusedApply:
