@@ -24,7 +24,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_conv import fused_conv_block1, fused_conv_block2
+from ..ops.pallas_conv import (
+    fused_conv_block1,
+    fused_conv_block2,
+    fused_conv_block3,
+)
 
 _BN_EPS = 1e-5  # flax/torch default, models/cnn.py:57
 
@@ -57,7 +61,7 @@ def make_fused_apply(variables, *, interpret: bool = False):
     stats = variables["batch_stats"]
     b1p, b1s = params["ConvBlock_0"], stats["ConvBlock_0"]["BatchNorm_0"]
 
-    b2p, b2s = params["ConvBlock_1"], stats["ConvBlock_1"]["BatchNorm_0"]
+    packed = {2: fused_conv_block2, 3: fused_conv_block3}
 
     def apply_fn(feats):
         x = fused_conv_block1(
@@ -65,15 +69,18 @@ def make_fused_apply(variables, *, interpret: bool = False):
             b1p["BatchNorm_0"]["scale"], b1p["BatchNorm_0"]["bias"],
             b1s["mean"], b1s["var"], eps=_BN_EPS, interpret=interpret,
         )
-        if x.shape[1] % 2 == 0 and x.shape[1] >= 4 and x.shape[2] >= 4:
-            x = fused_conv_block2(
-                x, b2p["Conv_0"]["kernel"],
-                b2p["BatchNorm_0"]["scale"], b2p["BatchNorm_0"]["bias"],
-                b2s["mean"], b2s["var"], eps=_BN_EPS, interpret=interpret,
+        start = 1
+        for blk_no, fused_blk in packed.items():
+            if x.shape[1] % 2 or x.shape[1] < 4 or x.shape[2] < 4:
+                break
+            bp = params[f"ConvBlock_{blk_no - 1}"]
+            bs = stats[f"ConvBlock_{blk_no - 1}"]["BatchNorm_0"]
+            x = fused_blk(
+                x, bp["Conv_0"]["kernel"],
+                bp["BatchNorm_0"]["scale"], bp["BatchNorm_0"]["bias"],
+                bs["mean"], bs["var"], eps=_BN_EPS, interpret=interpret,
             )
-            start = 2
-        else:
-            start = 1
+            start = blk_no
         for i in range(start, 5):
             blk = f"ConvBlock_{i}"
             x = _conv_bn_relu_pool(

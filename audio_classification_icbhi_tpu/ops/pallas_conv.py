@@ -125,74 +125,123 @@ def _kernel_block1(x_ref, a_ref, c_ref, out_ref, *, w: int, tiles: int):
         out_ref[0, t] = pooled.astype(jnp.bfloat16)
 
 
-def _constants_block2(conv_kernel: np.ndarray, scale: np.ndarray,
-                      bias: np.ndarray):
-    """Tap matrices for the packed-lane block2 scheme.
+def _constants_packed(conv_kernel: np.ndarray, scale: np.ndarray,
+                      bias: np.ndarray, ci: int, co: int):
+    """Tap matrices for the packed-lane ConvBlock scheme.
 
-    Returns (B3, bias_row, Cmat): B3 (3, 128, 128) bf16 with rows
-    w'rel*32 + ci and cols 2*co + wpar — entry k[dh, w'rel-wpar, ci, co]
-    (zero when w'rel-wpar is outside the 3x3 kernel), BN scale folded;
-    bias_row (1, 128) f32 with bias[co] at col 2*co+wpar; Cmat (128, 64)
-    bf16 selecting even lanes (the wpar pool compaction).
+    Returns (B3, bias_row, Cmat): B3 (3, 4*ci, 2*co) bf16 with rows
+    w'rel*ci + c_in and cols 2*c_out + wpar — entry
+    k[dh, w'rel - wpar, c_in, c_out] (zero when w'rel - wpar is outside
+    the 3x3 kernel), BN scale folded; bias_row (1, 2*co) f32 with
+    bias[c_out] at col 2*c_out + wpar; Cmat (2*co, co) bf16 selecting
+    even lanes (the wpar pool compaction, exact in bf16).
     """
     kf = (np.asarray(conv_kernel, np.float64)
-          * np.asarray(scale)[None, None, None, :])           # (3,3,32,64)
-    b3 = np.zeros((3, 128, 128), np.float32)
+          * np.asarray(scale)[None, None, None, :])           # (3,3,ci,co)
+    b3 = np.zeros((3, 4 * ci, 2 * co), np.float32)
     for dh in range(3):
         for wrel in range(4):
             for wpar in range(2):
                 dw = wrel - wpar
                 if 0 <= dw <= 2:
                     # fancy index separated by a slice puts the fancy axis
-                    # first in the indexing result -> assign (64, 32)
-                    b3[dh, wrel * 32:(wrel + 1) * 32,
-                       2 * np.arange(64) + wpar] = kf[dh, dw].T
+                    # first in the indexing result -> assign (co, ci)
+                    b3[dh, wrel * ci:(wrel + 1) * ci,
+                       2 * np.arange(co) + wpar] = kf[dh, dw].T
     bias_row = np.repeat(np.asarray(bias, np.float64), 2)[None, :].astype(np.float32)
-    cmat = np.zeros((128, 64), np.float32)
-    cmat[2 * np.arange(64), np.arange(64)] = 1.0
+    cmat = np.zeros((2 * co, co), np.float32)
+    cmat[2 * np.arange(co), np.arange(co)] = 1.0
     return (b3.astype(jnp.bfloat16), bias_row, cmat.astype(jnp.bfloat16))
 
 
-def _kernel_block2(x_ref, b_ref, bias_ref, c_ref, out_ref, *, h: int, ln: int):
-    """Fused 32->64ch ConvBlock on a (W, CI)-lane-packed image.
+def _kernel_packed(x_ref, b_ref, bias_ref, c_ref, out_ref, *, h: int, ln: int,
+                   ci: int, co: int):
+    """Fused ci->co ConvBlock on a (W, CI)-lane-packed image.
 
-    x_ref (1, h, ln) f32: lane = w*32 + ci, W pre-padded with zero columns
-    to ln/32 (mult of 4). Each output column pair (w2 = 2w2+wpar) reads a
-    128-lane window at 64*w2 - 32; rolling the image +-32 lanes makes the
-    even-w2 (resp. odd-w2) windows 128-aligned, so an unfold reshape
-    (h+2, ln) -> ((h+2)*ln/128, 128) exposes every window as a row and the
-    conv becomes 3 dense (h*nj, 128) @ (128, 128) matmuls per parity
-    family (rows (h', j); the dh shift is a row slice). Pooling: H via a
-    rows-merge reshape + 128-aligned lane max, W via lane roll + even-lane
+    x_ref (1, h, ln) f32: lane = w*ci + c_in, W pre-padded with zero
+    columns to ln/ci (mult of 4). Each output column pair
+    (conv w = 2*w2 + wpar) reads a 4*ci-lane tap window at
+    ci*(2*w2 - 1); rolling the image +ci (resp. -ci) lanes puts the
+    even-w2 (resp. odd-w2) windows on 4*ci boundaries, so an unfold
+    reshape (h+2, ln) -> ((h+2)*nj, 4*ci) exposes every window as a row
+    and the conv becomes 3 dense (h*nj, 4*ci) @ (4*ci, 2*co) matmuls per
+    parity family (rows (h', j); the dh shift is a row slice). With
+    ci % 32 == 0 and co % 64 == 0 both matmul dims are exact multiples
+    of the MXU tile — zero lane padding waste. Pooling: H via a
+    rows-merge reshape + aligned lane max, W via lane roll + even-lane
     selection matmul. All shifts land on sublanes or whole-lane rolls —
     same discipline as block1.
     """
-    nj = ln // 128
+    win, n2 = 4 * ci, 2 * co
+    nj = ln // win
     xf = x_ref[0]                                          # (h, ln) f32
     zrow = jnp.zeros((1, ln), jnp.float32)
     xfp = jnp.concatenate([zrow, xf, zrow], axis=0)        # rows h' = -1..h
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, ln), 1)
-    xr_e = jnp.where(lane < 32, 0.0, pltpu.roll(xfp, 32, axis=1))
-    xr_o = jnp.where(lane >= ln - 32, 0.0, pltpu.roll(xfp, ln - 32, axis=1))
-    bias = bias_ref[...]                                   # (1, 128) f32
+    xr_e = jnp.where(lane < ci, 0.0, pltpu.roll(xfp, ci, axis=1))
+    xr_o = jnp.where(lane >= ln - ci, 0.0, pltpu.roll(xfp, ln - ci, axis=1))
+    bias = bias_ref[...]                                   # (1, n2) f32
     for f, xr in enumerate((xr_e, xr_o)):
-        r = xr.reshape((h + 2) * nj, 128).astype(jnp.bfloat16)
+        r = xr.reshape((h + 2) * nj, win).astype(jnp.bfloat16)
         out = None
         for dh in range(3):
             part = jax.lax.dot_general(
                 r[dh * nj:dh * nj + h * nj], b_ref[dh],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             out = part if out is None else out + part
-        y = jnp.maximum(out + bias, 0.0)                   # (h*nj, 128)
-        m = y.reshape(h, nj * 128).reshape(h // 2, 2 * nj * 128)
-        hp = jnp.maximum(m[:, :nj * 128], m[:, nj * 128:])  # (h/2, ln)
-        u = hp.reshape((h // 2) * nj, 128)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        rolled = jnp.where(lane128 == 127, 0.0, pltpu.roll(u, 127, axis=1))
+        y = jnp.maximum(out + bias, 0.0)                   # (h*nj, n2)
+        m = y.reshape(h, nj * n2).reshape(h // 2, 2 * nj * n2)
+        hp = jnp.maximum(m[:, :nj * n2], m[:, nj * n2:])   # (h/2, nj*n2)
+        u = hp.reshape((h // 2) * nj, n2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+        rolled = jnp.where(lane2 == n2 - 1, 0.0, pltpu.roll(u, n2 - 1, axis=1))
         pw = jnp.maximum(u, rolled).astype(jnp.bfloat16)
         pooled = jax.lax.dot_general(pw, c_ref[...], (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        out_ref[0, f] = pooled.astype(jnp.bfloat16)        # (h/2*nj, 64)
+        out_ref[0, f] = pooled.astype(jnp.bfloat16)        # (h/2*nj, co)
+
+
+def _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                       ci: int, co: int, eps: float, interpret: bool):
+    b, h, w, cin = x.shape
+    if cin != ci or conv_kernel.shape != (3, 3, ci, co):
+        raise ValueError(
+            f"expected a (3, 3, {ci}, {co}) block, got input {x.shape} "
+            f"kernel {conv_kernel.shape}")
+    if h % 2 or h < 4 or w < 4:
+        raise ValueError(f"unsupported input shape {(h, w)}")
+    s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
+    t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
+    b3, bias_row, cmat = _constants_packed(np.asarray(conv_kernel), s, t, ci, co)
+    wp = -((-(w + 2)) // 4) * 4
+    ln = wp * ci
+    win, n2 = 4 * ci, 2 * co
+    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, wp - w), (0, 0))
+                 ).reshape(b, h, ln)
+    nj = ln // win
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, h=h, ln=ln, ci=ci, co=co),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, ln), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, win, n2), lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, co), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, (h // 2) * nj, co), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, (h // 2) * nj, co), jnp.bfloat16),
+        interpret=interpret,
+    )(xf, jnp.asarray(b3), jnp.asarray(bias_row), jnp.asarray(cmat))
+    # families: w2 even from f=0 (j -> w2=2j), odd from f=1 (w2=2j+1)
+    h2, w2 = h // 2, w // 2
+    fam = out.reshape(b, 2, h2, nj, co)
+    ne, no = (w2 + 1) // 2, w2 // 2
+    pe, po = fam[:, 0, :, :ne], fam[:, 1, :, :no]
+    if ne > no:
+        inter = jnp.stack([pe[:, :, :no], po], axis=3).reshape(b, h2, 2 * no, co)
+        return jnp.concatenate([inter, pe[:, :, no:]], axis=2)
+    return jnp.stack([pe, po], axis=3).reshape(b, h2, 2 * no, co)
 
 
 def fused_conv_block2(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
@@ -200,48 +249,22 @@ def fused_conv_block2(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
     """Fused inference block2: (B, H, W, 32) -> (B, H//2, W//2, 64) bf16.
 
     Same contract as ConvBlock_1 eval (reference src/models/cnn.py:24-29).
-    Requires H even >= 4, W >= 4, CI == 32, CO == 64 (the window packing
-    4 w-values x 32 ci == 128 lanes and 2 x 64 co == 128 output columns
-    are exact).
+    Requires H even >= 4, W >= 4; the packing (4 w-values x 32 c_in = 128
+    lanes, 2 x 64 c_out = 128 columns) exactly fills the MXU tile.
     """
-    b, h, w, ci = x.shape
-    if ci != 32 or conv_kernel.shape != (3, 3, 32, 64):
-        raise ValueError("fused_conv_block2 handles the 32->64 3x3 block only")
-    if h % 2 or h < 4 or w < 4:
-        raise ValueError(f"unsupported input shape {(h, w)}")
-    s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
-    t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
-    b3, bias_row, cmat = _constants_block2(np.asarray(conv_kernel), s, t)
-    wp = -((-(w + 2)) // 4) * 4
-    ln = wp * 32
-    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, wp - w), (0, 0))
-                 ).reshape(b, h, ln)
-    nj = ln // 128
-    out = pl.pallas_call(
-        functools.partial(_kernel_block2, h=h, ln=ln),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, ln), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128, 128), lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda bi: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 64), lambda bi: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, (h // 2) * nj, 64), lambda bi: (bi, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, (h // 2) * nj, 64), jnp.bfloat16),
-        interpret=interpret,
-    )(xf, jnp.asarray(b3), jnp.asarray(bias_row), jnp.asarray(cmat))
-    # families: w2 even from f=0 (j -> w2=2j), odd from f=1 (w2=2j+1)
-    h2, w2 = h // 2, w // 2
-    fam = out.reshape(b, 2, h2, nj, 64)
-    ne, no = (w2 + 1) // 2, w2 // 2
-    pe, po = fam[:, 0, :, :ne], fam[:, 1, :, :no]
-    if ne > no:
-        inter = jnp.stack([pe[:, :, :no], po], axis=3).reshape(b, h2, 2 * no, 64)
-        y = jnp.concatenate([inter, pe[:, :, no:]], axis=2)
-    else:
-        y = jnp.stack([pe, po], axis=3).reshape(b, h2, 2 * no, 64)
-    return y
+    return _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean,
+                              bn_var, 32, 64, eps, interpret)
+
+
+def fused_conv_block3(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                      *, eps: float = 1e-5, interpret: bool = False):
+    """Fused inference block3: (B, H, W, 64) -> (B, H//2, W//2, 128) bf16.
+
+    Same scheme with a 256-lane window (4 x 64 c_in) and 256 output
+    columns (2 x 128 c_out) — still exact MXU multiples.
+    """
+    return _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean,
+                              bn_var, 64, 128, eps, interpret)
 
 
 def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,

@@ -20,6 +20,7 @@ from audio_classification_icbhi_tpu.models.fused_infer import (
 from audio_classification_icbhi_tpu.ops.pallas_conv import (
     fused_conv_block1,
     fused_conv_block2,
+    fused_conv_block3,
 )
 
 
@@ -91,39 +92,48 @@ class TestFusedBlock1:
         assert fused_apply_supported((1, 128, 157, 1))
 
 
-class TestFusedBlock2:
-    @pytest.mark.parametrize("shape", [(2, 64, 78, 32), (1, 64, 77, 32),
-                                       (1, 8, 9, 32)])
-    def test_matches_f64_reference(self, rng, shape):
+def _packed_f64(x, kernel, scale, bias, mean, var, co, eps=1e-5):
+    """f64 ground truth for a generic eval ConvBlock (any channel count)."""
+    xx = np.asarray(x, np.float64)
+    k = np.asarray(kernel, np.float64)
+    sc = np.asarray(scale, np.float64) / np.sqrt(np.asarray(var, np.float64) + eps)
+    t = np.asarray(bias, np.float64) - np.asarray(mean, np.float64) * sc
+    b, h, w, ci = xx.shape
+    xp = np.zeros((b, h + 2, w + 2, ci))
+    xp[:, 1:-1, 1:-1] = xx
+    conv = np.zeros((b, h, w, co))
+    for dh in range(3):
+        for dw in range(3):
+            conv += np.einsum("bhwc,co->bhwo",
+                              xp[:, dh:dh + h, dw:dw + w], k[dh, dw])
+    y = np.maximum(conv * sc + t, 0.0)
+    ref = np.zeros((b, h // 2, w // 2, co))
+    for i in range(h // 2):
+        for j in range(w // 2):
+            ref[:, i, j] = y[:, 2 * i:2 * i + 2,
+                             2 * j:2 * j + 2].reshape(b, 4, co).max(1)
+    return ref
+
+
+class TestFusedPackedBlocks:
+    @pytest.mark.parametrize("blk,fn,co,shape", [
+        (1, fused_conv_block2, 64, (2, 64, 78, 32)),
+        (1, fused_conv_block2, 64, (1, 64, 77, 32)),
+        (1, fused_conv_block2, 64, (1, 8, 9, 32)),
+        (2, fused_conv_block3, 128, (2, 32, 39, 64)),
+        (2, fused_conv_block3, 128, (1, 16, 20, 64)),
+    ])
+    def test_matches_f64_reference(self, rng, blk, fn, co, shape):
         _, v = _variables(rng)
-        p = v["params"]["ConvBlock_1"]
-        s = v["batch_stats"]["ConvBlock_1"]["BatchNorm_0"]
+        p = v["params"][f"ConvBlock_{blk}"]
+        s = v["batch_stats"][f"ConvBlock_{blk}"]["BatchNorm_0"]
         x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-        got = np.asarray(fused_conv_block2(
+        got = np.asarray(fn(
             x, p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
             p["BatchNorm_0"]["bias"], s["mean"], s["var"], interpret=True),
             np.float64)
-        # f64 ground truth via the same helper, generalized to 32 channels
-        xx = np.asarray(x, np.float64)
-        k = np.asarray(p["Conv_0"]["kernel"], np.float64)
-        sc = (np.asarray(p["BatchNorm_0"]["scale"], np.float64)
-              / np.sqrt(np.asarray(s["var"], np.float64) + 1e-5))
-        t = (np.asarray(p["BatchNorm_0"]["bias"], np.float64)
-             - np.asarray(s["mean"], np.float64) * sc)
-        b, h, w, ci = xx.shape
-        xp = np.zeros((b, h + 2, w + 2, ci))
-        xp[:, 1:-1, 1:-1] = xx
-        conv = np.zeros((b, h, w, 64))
-        for dh in range(3):
-            for dw in range(3):
-                conv += np.einsum("bhwc,co->bhwo",
-                                  xp[:, dh:dh + h, dw:dw + w], k[dh, dw])
-        y = np.maximum(conv * sc + t, 0.0)
-        ref = np.zeros((b, h // 2, w // 2, 64))
-        for i in range(h // 2):
-            for j in range(w // 2):
-                ref[:, i, j] = y[:, 2 * i:2 * i + 2,
-                                 2 * j:2 * j + 2].reshape(b, 4, 64).max(1)
+        ref = _packed_f64(x, p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
+                          p["BatchNorm_0"]["bias"], s["mean"], s["var"], co)
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=2e-2 * max(1, np.abs(ref).max()))
 
