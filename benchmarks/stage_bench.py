@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--algorithm", type=str, default=None,
                     help="Force a Pallas kernel (e.g. radix8dif_fused); "
                          "implies --backend pallas")
+    ap.add_argument("--no-fused-cnn", action="store_true",
+                    help="Use the plain flax conv stack instead of the "
+                         "Pallas-fused blocks 1-3 (the TPU production path)")
     args = ap.parse_args()
     if args.algorithm:
         args.backend = "pallas"
@@ -96,11 +99,19 @@ def main():
         dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
 
+    # same path selection as bench.py: Pallas-fused blocks 1-3 on TPU
+    from audio_classification_icbhi_tpu.models.fused_infer import (
+        fused_apply_supported, make_fused_apply)
+
+    if (jax.default_backend() == "tpu" and fused_apply_supported(dummy.shape)
+            and not args.no_fused_cnn):
+        apply_fn = make_fused_apply(variables)
+    else:
+        apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731
+
     mel_fn = jax.jit(lambda w: features_from_wavs(frontend, w))
-    cnn_fn = jax.jit(lambda m: model.apply(variables, m, train=False))
-    full_fn = jax.jit(
-        lambda w: model.apply(variables, features_from_wavs(frontend, w), train=False)
-    )
+    cnn_fn = jax.jit(apply_fn)
+    full_fn = jax.jit(lambda w: apply_fn(features_from_wavs(frontend, w)))
 
     rng = np.random.default_rng(0)
 
