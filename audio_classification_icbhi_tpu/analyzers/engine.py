@@ -218,13 +218,27 @@ class AnalyzerEngine:
         model = self.classifier.model
         params, batch_stats = self.classifier.params, self.classifier.batch_stats
         frontend = self.frontend
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        # single-device TPU path: Pallas-fused blocks 1-3 (same selection
+        # as ClassifierEngine._apply_fn); the sharded-mesh path keeps the
+        # flax apply — pallas_call under a sharded jit would need explicit
+        # partitioning rules
+        from audio_classification_icbhi_tpu.models import LightweightCNN
+        from audio_classification_icbhi_tpu.models.fused_infer import (
+            fused_apply_supported, make_fused_apply)
+
+        if (self.mesh is None and isinstance(model, LightweightCNN)
+                and jax.default_backend() == "tpu"
+                and fused_apply_supported((1, frontend.n_mels, 4, 1))):
+            # width is trace-time; the kernels handle any T >= 4
+            apply_fn = make_fused_apply(variables)
+        else:
+            apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731
 
         def probs_fn(windows):
             mel = frontend(windows)[..., None]  # (W, n_mels, T, 1)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, mel, train=False
-            )
-            return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(apply_fn(mel), axis=-1)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
