@@ -226,11 +226,12 @@ class AnalyzerEngine:
         # partitioning rules
         from audio_classification_icbhi_tpu.models import LightweightCNN
         from audio_classification_icbhi_tpu.models.fused_infer import (
-            fused_apply_supported, make_fused_apply)
+            fused_apply_supported, fused_kernels_available, make_fused_apply)
 
         if (self.mesh is None and isinstance(model, LightweightCNN)
                 and jax.default_backend() == "tpu"
-                and fused_apply_supported((1, frontend.n_mels, 4, 1))):
+                and fused_apply_supported((1, frontend.n_mels, 4, 1))
+                and fused_kernels_available()):
             # width is trace-time; the kernels handle any T >= 4
             apply_fn = make_fused_apply(variables)
         else:

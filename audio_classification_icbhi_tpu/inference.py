@@ -76,13 +76,14 @@ class ClassifierEngine:
         """
         from audio_classification_icbhi_tpu.models import LightweightCNN
         from audio_classification_icbhi_tpu.models.fused_infer import (
-            fused_apply_supported, make_fused_apply)
+            fused_apply_supported, fused_kernels_available, make_fused_apply)
 
         variables = {"params": self.params, "batch_stats": self.batch_stats}
         shape = (1, self.frontend.n_mels, self.frontend.num_frames, 1)
         if (isinstance(self.model, LightweightCNN)
                 and jax.default_backend() == "tpu"
-                and fused_apply_supported(shape)):
+                and fused_apply_supported(shape)
+                and fused_kernels_available()):
             return make_fused_apply(variables)
         model = self.model
         return lambda feats: model.apply(variables, feats, train=False)

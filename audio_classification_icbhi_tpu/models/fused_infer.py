@@ -106,3 +106,74 @@ def fused_apply_supported(feats_shape) -> bool:
         return False
     _, h, w, c = feats_shape
     return c == 1 and h % 16 == 0 and h >= 32 and w >= 4
+
+
+_PROBE_OK: bool | None = None
+
+
+def fused_kernels_available() -> bool:
+    """Compile-and-check the Pallas kernels on the current default backend.
+
+    Runs each fused block once on tiny inputs and compares against a
+    numpy ground truth; caches the verdict. Callers use this before
+    selecting the fused path so an unattended run (bench.py, the driver)
+    degrades to the flax apply instead of crashing if this JAX/Mosaic
+    version rejects a lowering pattern or mis-lowers a roll/reshape.
+    """
+    global _PROBE_OK
+    if _PROBE_OK is not None:
+        return _PROBE_OK
+    import numpy as np
+
+    from ..ops.pallas_conv import fused_conv_block1, fused_conv_block2
+
+    try:
+        rng = np.random.default_rng(0)
+        x1 = rng.standard_normal((1, 32, 8, 1)).astype(np.float32)
+        k1 = rng.standard_normal((3, 3, 1, 32)).astype(np.float32) * 0.1
+        ones, zeros = np.ones(32, np.float32), np.zeros(32, np.float32)
+        got = np.asarray(fused_conv_block1(
+            jnp.asarray(x1), k1, ones, zeros, zeros, ones), np.float64)
+        ref = _conv_pool_np(x1, k1)
+        if got.shape != ref.shape or np.abs(got - ref).max() > 2e-2:
+            raise AssertionError("block1 probe numerics mismatch")
+        x2 = rng.standard_normal((1, 4, 8, 32)).astype(np.float32)
+        k2 = rng.standard_normal((3, 3, 32, 64)).astype(np.float32) * 0.1
+        o64, z64 = np.ones(64, np.float32), np.zeros(64, np.float32)
+        got2 = np.asarray(fused_conv_block2(
+            jnp.asarray(x2), k2, o64, z64, z64, o64), np.float64)
+        ref2 = _conv_pool_np(x2, k2)
+        if got2.shape != ref2.shape or np.abs(got2 - ref2).max() > 2e-2:
+            raise AssertionError("block2 probe numerics mismatch")
+        _PROBE_OK = True
+    except Exception as exc:  # pragma: no cover - depends on backend version
+        import warnings
+
+        warnings.warn(f"fused CNN kernels unavailable on this backend "
+                      f"({type(exc).__name__}: {exc}); using the flax path")
+        _PROBE_OK = False
+    return _PROBE_OK
+
+
+def _conv_pool_np(x, k, eps: float = 1e-5):
+    """Numpy ground truth for the probe: conv3x3 + identity BN + relu + pool."""
+    import numpy as np
+
+    xx = np.asarray(x, np.float64)
+    kk = np.asarray(k, np.float64)
+    b, h, w, ci = xx.shape
+    co = kk.shape[-1]
+    xp = np.zeros((b, h + 2, w + 2, ci))
+    xp[:, 1:-1, 1:-1] = xx
+    conv = np.zeros((b, h, w, co))
+    for dh in range(3):
+        for dw in range(3):
+            conv += np.einsum("bhwc,co->bhwo", xp[:, dh:dh + h, dw:dw + w],
+                              kk[dh, dw])
+    y = np.maximum(conv / np.sqrt(1.0 + eps), 0.0)
+    out = np.zeros((b, h // 2, w // 2, co))
+    for i in range(h // 2):
+        for j in range(w // 2):
+            out[:, i, j] = y[:, 2 * i:2 * i + 2, 2 * j:2 * j + 2].reshape(
+                b, 4, co).max(1)
+    return out

@@ -46,10 +46,11 @@ def build_pipeline(batch: int, backend: str = "auto",
     import os
 
     from audio_classification_icbhi_tpu.models.fused_infer import (
-        fused_apply_supported, make_fused_apply)
+        fused_apply_supported, fused_kernels_available, make_fused_apply)
 
     if (jax.default_backend() == "tpu" and fused_apply_supported(dummy.shape)
-            and os.environ.get("BENCH_FUSED_CNN", "1") != "0"):
+            and os.environ.get("BENCH_FUSED_CNN", "1") != "0"
+            and fused_kernels_available()):
         apply_fn = make_fused_apply(variables)
     else:
         apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731
