@@ -10,3 +10,8 @@ from audio_classification_icbhi_tpu.models.registry import (  # noqa: F401
     build_model,
     register_model,
 )
+from audio_classification_icbhi_tpu.models.fused_infer import (  # noqa: F401
+    fused_apply_supported,
+    fused_kernels_available,
+    make_fused_apply,
+)

@@ -32,3 +32,8 @@ from audio_classification_icbhi_tpu.ops.time_stretch import (  # noqa: F401
     phase_vocoder,
     stft_complex,
 )
+from audio_classification_icbhi_tpu.ops.pallas_conv import (  # noqa: F401
+    fused_conv_block1,
+    fused_conv_block2,
+    fused_conv_block3,
+)
