@@ -1,12 +1,18 @@
 """HBM-lean inference forward for LightweightCNN.
 
 The measured roofline (ROOFLINE_r05.json) shows the eval conv stack is
-HBM-bound and that block1 alone moves 3.29 MB/clip — half the stack's
-bytes — because its full-resolution pre-pool activation round-trips HBM.
-`make_fused_apply` builds a drop-in replacement for
-`model.apply(variables, feats, train=False)` that runs block1 through the
-fused Pallas kernel (ops/pallas_conv.py: conv+BN+ReLU+pool in one VMEM
-pass) and the remaining blocks through the same lax ops flax lowers to.
+HBM-bound (80.7% of v5e streaming peak at batch 128) because each
+block's full-resolution pre-pool activation round-trips HBM; measured
+in isolation blocks 1-3 move 3.29, 2.08 and 1.19 MB/clip against fused
+floors of 0.40, 0.48 and 0.24 (the whole stack is 6.52 MB/clip —
+isolated rows double-count boundary buffers). `make_fused_apply`
+builds a drop-in
+replacement for `model.apply(variables, feats, train=False)` that runs
+blocks 1-3 through the fused Pallas kernels (ops/pallas_conv.py:
+conv+BN+ReLU+pool per block in one VMEM pass) and blocks 4-5 + the head
+through the same lax ops flax lowers to (at their shapes the packed
+kernels' window inflation cancels the fusion dividend, so XLA keeps
+them).
 
 Semantics match the reference CNN's eval path (reference
 src/models/cnn.py:24-29, 44-60): conv3x3 (pad 1, no bias) in bf16,
