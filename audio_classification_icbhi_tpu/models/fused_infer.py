@@ -65,28 +65,42 @@ def make_fused_apply(variables, *, interpret: bool = False):
     """
     params = variables["params"]
     stats = variables["batch_stats"]
-    b1p, b1s = params["ConvBlock_0"], stats["ConvBlock_0"]["BatchNorm_0"]
 
-    packed = {2: fused_conv_block2, 3: fused_conv_block3}
+    def _round4(n):
+        return -((-n) // 4) * 4
+
+    def _bn_args(i):
+        bp = params[f"ConvBlock_{i}"]
+        bs = stats[f"ConvBlock_{i}"]["BatchNorm_0"]
+        return (bp["Conv_0"]["kernel"], bp["BatchNorm_0"]["scale"],
+                bp["BatchNorm_0"]["bias"], bs["mean"], bs["var"])
 
     def apply_fn(feats):
+        hh, ww = feats.shape[1], feats.shape[2]
+        h1, w1 = hh // 2, ww // 2
+        # chain decisions and pad widths are static: each fused block emits
+        # the zero columns its successor needs, fused into its own output
+        # relayout, so no standalone HBM pad copy sits between kernels
+        chain2 = h1 % 2 == 0 and h1 >= 4 and w1 >= 4
         x = fused_conv_block1(
-            feats, b1p["Conv_0"]["kernel"],
-            b1p["BatchNorm_0"]["scale"], b1p["BatchNorm_0"]["bias"],
-            b1s["mean"], b1s["var"], eps=_BN_EPS, interpret=interpret,
+            feats, *_bn_args(0), eps=_BN_EPS, interpret=interpret,
+            pad_out_w=_round4(w1 + 2) if chain2 else None,
         )
         start = 1
-        for blk_no, fused_blk in packed.items():
-            if x.shape[1] % 2 or x.shape[1] < 4 or x.shape[2] < 4:
-                break
-            bp = params[f"ConvBlock_{blk_no - 1}"]
-            bs = stats[f"ConvBlock_{blk_no - 1}"]["BatchNorm_0"]
-            x = fused_blk(
-                x, bp["Conv_0"]["kernel"],
-                bp["BatchNorm_0"]["scale"], bp["BatchNorm_0"]["bias"],
-                bs["mean"], bs["var"], eps=_BN_EPS, interpret=interpret,
+        if chain2:
+            h2, w2 = h1 // 2, w1 // 2
+            chain3 = h2 % 2 == 0 and h2 >= 4 and w2 >= 4
+            x = fused_conv_block2(
+                x, *_bn_args(1), eps=_BN_EPS, interpret=interpret,
+                true_w=w1, pad_out_w=_round4(w2 + 2) if chain3 else None,
             )
-            start = blk_no
+            start = 2
+            if chain3:
+                x = fused_conv_block3(
+                    x, *_bn_args(2), eps=_BN_EPS, interpret=interpret,
+                    true_w=w2,
+                )
+                start = 3
         for i in range(start, 5):
             blk = f"ConvBlock_{i}"
             x = _conv_bn_relu_pool(

@@ -174,7 +174,10 @@ def _kernel_packed(x_ref, b_ref, bias_ref, c_ref, out_ref, *, h: int, ln: int,
     """
     win, n2 = 4 * ci, 2 * co
     nj = ln // win
-    xf = x_ref[0]                                          # (h, ln) f32
+    # accept bf16 input (the previous block's output dtype) and widen in
+    # VMEM: pltpu.roll only rotates 32-bit data, and keeping the HBM-side
+    # buffer bf16 halves the inter-block traffic
+    xf = x_ref[0].astype(jnp.float32)                      # (h, ln)
     zrow = jnp.zeros((1, ln), jnp.float32)
     xfp = jnp.concatenate([zrow, xf, zrow], axis=0)        # rows h' = -1..h
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, ln), 1)
@@ -202,22 +205,29 @@ def _kernel_packed(x_ref, b_ref, bias_ref, c_ref, out_ref, *, h: int, ln: int,
 
 
 def _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
-                       ci: int, co: int, eps: float, interpret: bool):
+                       ci: int, co: int, eps: float, interpret: bool,
+                       true_w: int | None = None,
+                       pad_out_w: int | None = None):
     b, h, w, cin = x.shape
+    # `true_w`: the valid image width when x arrives pre-padded with zero
+    # columns (a chained fused block emits them so the pad fuses into its
+    # own output relayout instead of costing a separate HBM copy here)
+    wt = true_w if true_w is not None else w
     if cin != ci or conv_kernel.shape != (3, 3, ci, co):
         raise ValueError(
             f"expected a (3, 3, {ci}, {co}) block, got input {x.shape} "
             f"kernel {conv_kernel.shape}")
-    if h % 2 or h < 4 or w < 4:
-        raise ValueError(f"unsupported input shape {(h, w)}")
+    if h % 2 or h < 4 or wt < 4 or wt > w:
+        raise ValueError(f"unsupported input shape {(h, w)} (true_w={wt})")
     s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
     t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
     b3, bias_row, cmat = _constants_packed(np.asarray(conv_kernel), s, t, ci, co)
-    wp = -((-(w + 2)) // 4) * 4
+    wp = -((-max(w, wt + 2)) // 4) * 4
     ln = wp * ci
     win, n2 = 4 * ci, 2 * co
-    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, wp - w), (0, 0))
-                 ).reshape(b, h, ln)
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    xf = x.reshape(b, h, ln)
     nj = ln // win
     out = pl.pallas_call(
         functools.partial(_kernel_packed, h=h, ln=ln, ci=ci, co=co),
@@ -234,46 +244,61 @@ def _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
         interpret=interpret,
     )(xf, jnp.asarray(b3), jnp.asarray(bias_row), jnp.asarray(cmat))
     # families: w2 even from f=0 (j -> w2=2j), odd from f=1 (w2=2j+1)
-    h2, w2 = h // 2, w // 2
+    h2, w2 = h // 2, wt // 2
     fam = out.reshape(b, 2, h2, nj, co)
     ne, no = (w2 + 1) // 2, w2 // 2
     pe, po = fam[:, 0, :, :ne], fam[:, 1, :, :no]
     if ne > no:
         inter = jnp.stack([pe[:, :, :no], po], axis=3).reshape(b, h2, 2 * no, co)
-        return jnp.concatenate([inter, pe[:, :, no:]], axis=2)
-    return jnp.stack([pe, po], axis=3).reshape(b, h2, 2 * no, co)
+        y = jnp.concatenate([inter, pe[:, :, no:]], axis=2)
+    else:
+        y = jnp.stack([pe, po], axis=3).reshape(b, h2, 2 * no, co)
+    if pad_out_w is not None and pad_out_w > w2:
+        # zero columns for the NEXT fused block, emitted here so the pad
+        # fuses into this block's output relayout
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_out_w - w2), (0, 0)))
+    return y
 
 
 def fused_conv_block2(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
-                      *, eps: float = 1e-5, interpret: bool = False):
+                      *, eps: float = 1e-5, interpret: bool = False,
+                      true_w: int | None = None, pad_out_w: int | None = None):
     """Fused inference block2: (B, H, W, 32) -> (B, H//2, W//2, 64) bf16.
 
     Same contract as ConvBlock_1 eval (reference src/models/cnn.py:24-29).
     Requires H even >= 4, W >= 4; the packing (4 w-values x 32 c_in = 128
     lanes, 2 x 64 c_out = 128 columns) exactly fills the MXU tile.
+    bf16 or f32 input; `true_w`/`pad_out_w` let chained fused blocks pass
+    pre-padded buffers so pads ride each block's output relayout.
     """
     return _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean,
-                              bn_var, 32, 64, eps, interpret)
+                              bn_var, 32, 64, eps, interpret,
+                              true_w=true_w, pad_out_w=pad_out_w)
 
 
 def fused_conv_block3(x, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
-                      *, eps: float = 1e-5, interpret: bool = False):
+                      *, eps: float = 1e-5, interpret: bool = False,
+                      true_w: int | None = None, pad_out_w: int | None = None):
     """Fused inference block3: (B, H, W, 64) -> (B, H//2, W//2, 128) bf16.
 
     Same scheme with a 256-lane window (4 x 64 c_in) and 256 output
     columns (2 x 128 c_out) — still exact MXU multiples.
     """
     return _fused_conv_packed(x, conv_kernel, bn_scale, bn_bias, bn_mean,
-                              bn_var, 64, 128, eps, interpret)
+                              bn_var, 64, 128, eps, interpret,
+                              true_w=true_w, pad_out_w=pad_out_w)
 
 
 def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
-                      *, eps: float = 1e-5, interpret: bool = False):
+                      *, eps: float = 1e-5, interpret: bool = False,
+                      pad_out_w: int | None = None):
     """Fused inference block1: (B, H, W, 1) f32 -> (B, H//2, W//2, 32) bf16.
 
     conv_kernel (3, 3, 1, 32) HWIO and the BatchNorm eval-mode parameters
     come straight from the flax variables tree (models/fused_infer.py).
     Requires H % 16 == 0, H >= 32, W >= 4 (production mel: H=128, W=157).
+    `pad_out_w`: emit extra zero output columns (fused into the output
+    relayout) so a chained fused block2 needs no separate pad copy.
     """
     b, h, w, cin = feats.shape
     if cin != 1 or conv_kernel.shape != (3, 3, 1, _COUT):
@@ -300,4 +325,7 @@ def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
     )(feats[..., 0], jnp.asarray(a), jnp.asarray(cmat))
     # rows are c*8 + h2 per tile: -> (B, H/2, W/2, C) NHWC for the next block
     y = out.reshape(b, tiles, _COUT, _TILE // 2, w // 2)
-    return y.transpose(0, 1, 3, 4, 2).reshape(b, h // 2, w // 2, _COUT)
+    y = y.transpose(0, 1, 3, 4, 2).reshape(b, h // 2, w // 2, _COUT)
+    if pad_out_w is not None and pad_out_w > w // 2:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_out_w - w // 2), (0, 0)))
+    return y

@@ -137,6 +137,29 @@ class TestFusedPackedBlocks:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=2e-2 * max(1, np.abs(ref).max()))
 
+    def test_prepadded_input_matches_unpadded(self, rng):
+        """Chained-path contract: a pre-padded buffer + true_w gives the
+        same result as padding inside the wrapper."""
+        _, v = _variables(rng)
+        p = v["params"]["ConvBlock_1"]
+        s = v["batch_stats"]["ConvBlock_1"]["BatchNorm_0"]
+        args = (p["Conv_0"]["kernel"], p["BatchNorm_0"]["scale"],
+                p["BatchNorm_0"]["bias"], s["mean"], s["var"])
+        x = rng.standard_normal((1, 8, 10, 32)).astype(np.float32)
+        xpad = np.zeros((1, 8, 12, 32), np.float32)
+        xpad[:, :, :10] = x
+        plain = np.asarray(fused_conv_block2(jnp.asarray(x), *args,
+                                             interpret=True))
+        padded = np.asarray(fused_conv_block2(jnp.asarray(xpad), *args,
+                                              true_w=10, interpret=True))
+        np.testing.assert_array_equal(plain, padded)
+        # and pad_out_w appends exactly zeros
+        out_pad = np.asarray(fused_conv_block2(jnp.asarray(x), *args,
+                                               pad_out_w=8, interpret=True))
+        assert out_pad.shape[2] == 8
+        np.testing.assert_array_equal(out_pad[:, :, :5], plain)
+        assert np.all(out_pad[:, :, 5:] == 0)
+
     def test_rejects_wrong_channels(self, rng):
         _, v = _variables(rng)
         p = v["params"]["ConvBlock_1"]
