@@ -145,7 +145,8 @@ def fused_kernels_available() -> bool:
         return _PROBE_OK
     import numpy as np
 
-    from ..ops.pallas_conv import fused_conv_block1, fused_conv_block2
+    from ..ops.pallas_conv import (fused_conv_block1, fused_conv_block2,
+                                   fused_conv_block3)
 
     try:
         rng = np.random.default_rng(0)
@@ -165,6 +166,14 @@ def fused_kernels_available() -> bool:
         ref2 = _conv_pool_np(x2, k2)
         if got2.shape != ref2.shape or np.abs(got2 - ref2).max() > 2e-2:
             raise AssertionError("block2 probe numerics mismatch")
+        x3 = rng.standard_normal((1, 4, 8, 64)).astype(np.float32)
+        k3 = rng.standard_normal((3, 3, 64, 128)).astype(np.float32) * 0.1
+        o128, z128 = np.ones(128, np.float32), np.zeros(128, np.float32)
+        got3 = np.asarray(fused_conv_block3(
+            jnp.asarray(x3), k3, o128, z128, z128, o128), np.float64)
+        ref3 = _conv_pool_np(x3, k3)
+        if got3.shape != ref3.shape or np.abs(got3 - ref3).max() > 5e-2:
+            raise AssertionError("block3 probe numerics mismatch")
         _PROBE_OK = True
     except Exception as exc:  # pragma: no cover - depends on backend version
         import warnings
