@@ -181,10 +181,14 @@ class TestFusedApply:
         # accumulation order (measured 1.2e-4 at init-scale weights)
         np.testing.assert_allclose(got, ref, atol=5e-3)
 
-    def test_jittable_and_flexible_width(self, rng):
+    @pytest.mark.parametrize("shape", [(2, 128, 96, 1), (1, 48, 33, 1),
+                                       (1, 64, 5, 1)])
+    def test_jittable_and_flexible_shapes(self, rng, shape):
+        """Chain decisions (which blocks stay fused) flip with shape; every
+        branch must match flax."""
         m, v = _variables(rng)
         fn = jax.jit(make_fused_apply(v, interpret=True))
-        feats = jnp.asarray(rng.standard_normal((2, 128, 96, 1)).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         ref = np.asarray(m.apply(v, feats, train=False))
         got = np.asarray(fn(feats))
         np.testing.assert_allclose(got, ref, atol=5e-3)
