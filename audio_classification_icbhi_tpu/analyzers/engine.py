@@ -220,18 +220,17 @@ class AnalyzerEngine:
         frontend = self.frontend
         variables = {"params": params, "batch_stats": batch_stats}
 
-        # single-device TPU path: Pallas-fused blocks 1-3 (same selection
-        # as ClassifierEngine._apply_fn); the sharded-mesh path keeps the
-        # flax apply — pallas_call under a sharded jit would need explicit
-        # partitioning rules
+        # XLA convs by default (same policy as ClassifierEngine._apply_fn:
+        # the fused Pallas chain measured slower on-chip, r5 A/B);
+        # ICBHI_FUSED_CNN=1 opts in on the single-device path only — a
+        # pallas_call under a sharded jit would need explicit partitioning
+        # rules, so the mesh path always keeps flax
         from audio_classification_icbhi_tpu.models import LightweightCNN
         from audio_classification_icbhi_tpu.models.fused_infer import (
-            fused_apply_supported, fused_kernels_available, make_fused_apply)
+            fused_cnn_enabled, make_fused_apply)
 
         if (self.mesh is None and isinstance(model, LightweightCNN)
-                and jax.default_backend() == "tpu"
-                and fused_apply_supported((1, frontend.n_mels, 4, 1))
-                and fused_kernels_available()):
+                and fused_cnn_enabled((1, frontend.n_mels, 4, 1))):
             # width is trace-time; the kernels handle any T >= 4
             apply_fn = make_fused_apply(variables)
         else:

@@ -68,22 +68,19 @@ class ClassifierEngine:
     def _apply_fn(self):
         """feats -> logits for the eval path.
 
-        On TPU with the LightweightCNN profile this routes block1 through
-        the fused Pallas conv+BN+ReLU+pool kernel (ops/pallas_conv.py) —
-        the roofline (ROOFLINE_r05.json) showed the eval conv stack
-        HBM-bound with block1 moving half the bytes. Elsewhere (CPU tests,
-        resnet checkpoints, non-standard shapes) it is the flax apply.
+        The flax/XLA apply everywhere by default; `ICBHI_FUSED_CNN=1`
+        (with the LightweightCNN profile on TPU) opts into the fused
+        Pallas conv kernels, which the r5 on-chip A/B measured slower
+        despite their HBM-byte win (models/fused_infer.fused_cnn_enabled
+        has the numbers).
         """
         from audio_classification_icbhi_tpu.models import LightweightCNN
         from audio_classification_icbhi_tpu.models.fused_infer import (
-            fused_apply_supported, fused_kernels_available, make_fused_apply)
+            fused_cnn_enabled, make_fused_apply)
 
         variables = {"params": self.params, "batch_stats": self.batch_stats}
         shape = (1, self.frontend.n_mels, self.frontend.num_frames, 1)
-        if (isinstance(self.model, LightweightCNN)
-                and jax.default_backend() == "tpu"
-                and fused_apply_supported(shape)
-                and fused_kernels_available()):
+        if isinstance(self.model, LightweightCNN) and fused_cnn_enabled(shape):
             return make_fused_apply(variables)
         model = self.model
         return lambda feats: model.apply(variables, feats, train=False)

@@ -12,6 +12,7 @@ from audio_classification_icbhi_tpu.models.registry import (  # noqa: F401
 )
 from audio_classification_icbhi_tpu.models.fused_infer import (  # noqa: F401
     fused_apply_supported,
+    fused_cnn_enabled,
     fused_kernels_available,
     make_fused_apply,
 )

@@ -128,6 +128,41 @@ def fused_apply_supported(feats_shape) -> bool:
     return c == 1 and h % 16 == 0 and h >= 32 and w >= 4
 
 
+def fused_cnn_enabled(feats_shape=None) -> bool:
+    """Central policy switch: should inference use the fused Pallas CNN?
+
+    Returns True only when `ICBHI_FUSED_CNN=1` (or the legacy
+    `BENCH_FUSED_CNN=1`) is set AND the default backend is TPU AND the
+    feature shape (when given) fits the kernel profile AND the
+    compile-and-verify probe passes. Every production call site
+    (bench.py, ClassifierEngine, the analyzer engine, __graft_entry__)
+    routes through this one function.
+
+    Default is OFF: the r5 on-chip A/B measured the fused chain SLOWER
+    than XLA's convs despite its ~8x HBM-byte win — isolated CNN stage
+    56.4k clips/s fused vs 101.6k XLA at batch 128 (stage_bench), end to
+    end 39.7k vs 58.5k (bench.py, batch 128) and 33.4k vs 51.6k at 1024.
+    The per-example `grid=(b,)` kernels spend their time on small
+    serialized matmuls (block1's banded scheme inflates 11.6 MFLOP/clip
+    of intrinsic conv work to ~83 MFLOP at K=64, N=157 tile fill), so the
+    measured bound from ROOFLINE_r05.json (80.7% of HBM peak) buys
+    nothing back. XLA's conv+reduce-window stays the production path;
+    the kernels remain a correct, tested opt-in and a documented
+    negative result (PARITY.md r5).
+    """
+    import os
+
+    env = os.environ.get("ICBHI_FUSED_CNN",
+                         os.environ.get("BENCH_FUSED_CNN", "0"))
+    if env != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if feats_shape is not None and not fused_apply_supported(feats_shape):
+        return False
+    return fused_kernels_available()
+
+
 _PROBE_OK: bool | None = None
 
 

@@ -40,17 +40,14 @@ def build_pipeline(batch: int, backend: str = "auto",
         dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
 
-    # Production inference path on TPU: Pallas-fused block1 (conv+BN+ReLU+
-    # pool in one VMEM pass — the roofline showed the conv stack HBM-bound,
-    # ROOFLINE_r05.json). BENCH_FUSED_CNN=0 opts out for A/B runs.
-    import os
-
+    # Inference apply: XLA convs by default (the r5 on-chip A/B measured
+    # the fused Pallas CNN chain slower end to end — 39.7k vs 58.5k
+    # clips/s at batch 128); ICBHI_FUSED_CNN=1 opts into the fused path
+    # for A/B runs (policy + numbers: models/fused_infer.fused_cnn_enabled).
     from audio_classification_icbhi_tpu.models.fused_infer import (
-        fused_apply_supported, fused_kernels_available, make_fused_apply)
+        fused_cnn_enabled, make_fused_apply)
 
-    if (jax.default_backend() == "tpu" and fused_apply_supported(dummy.shape)
-            and os.environ.get("BENCH_FUSED_CNN", "1") != "0"
-            and fused_kernels_available()):
+    if fused_cnn_enabled(dummy.shape):
         apply_fn = make_fused_apply(variables)
     else:
         apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731

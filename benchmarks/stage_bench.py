@@ -70,9 +70,13 @@ def main():
     ap.add_argument("--algorithm", type=str, default=None,
                     help="Force a Pallas kernel (e.g. radix8dif_fused); "
                          "implies --backend pallas")
+    ap.add_argument("--fused-cnn", action="store_true",
+                    help="Force the Pallas-fused blocks 1-3 (measured "
+                         "slower than XLA on-chip in the r5 A/B — an "
+                         "opt-in, like ICBHI_FUSED_CNN=1)")
     ap.add_argument("--no-fused-cnn", action="store_true",
-                    help="Use the plain flax conv stack instead of the "
-                         "Pallas-fused blocks 1-3 (the TPU production path)")
+                    help="Force the plain flax conv stack (the production "
+                         "default since the r5 A/B)")
     args = ap.parse_args()
     if args.algorithm:
         args.backend = "pallas"
@@ -99,12 +103,15 @@ def main():
         dummy = jnp.zeros((1, 128, frontend.num_frames, 1), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
 
-    # same path selection as bench.py: Pallas-fused blocks 1-3 on TPU
+    # same path selection as bench.py (XLA default; fused is opt-in),
+    # with --fused-cnn / --no-fused-cnn overriding for A/B tables
     from audio_classification_icbhi_tpu.models.fused_infer import (
-        fused_apply_supported, make_fused_apply)
+        fused_apply_supported, fused_cnn_enabled, make_fused_apply)
 
-    if (jax.default_backend() == "tpu" and fused_apply_supported(dummy.shape)
-            and not args.no_fused_cnn):
+    use_fused = (args.fused_cnn or fused_cnn_enabled(dummy.shape)) \
+        and not args.no_fused_cnn
+    if use_fused and jax.default_backend() == "tpu" \
+            and fused_apply_supported(dummy.shape):
         apply_fn = make_fused_apply(variables)
     else:
         apply_fn = lambda feats: model.apply(variables, feats, train=False)  # noqa: E731
