@@ -329,3 +329,112 @@ def fused_conv_block1(feats, conv_kernel, bn_scale, bn_bias, bn_mean, bn_var,
     if pad_out_w is not None and pad_out_w > w // 2:
         y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_out_w - w // 2), (0, 0)))
     return y
+
+
+def _kernel_block1_batched(x_ref, a_ref, c_ref, m_ref, out_ref, *, gw: int,
+                           tiles: int):
+    """Block1 scheme with GROUP examples stacked along the lane axis.
+
+    Same banded-matmul tile loop as _kernel_block1, but every matmul sees
+    N = group*W lanes instead of W: the r5 on-chip A/B showed the
+    one-example-per-grid-step kernel losing to XLA because its
+    (512, 64) @ (64, 157) tiles are too small to feed the MXU and the
+    grid serializes batch; stacking examples in lanes widens N and cuts
+    grid steps by the group factor. Example boundaries are handled by two
+    host-built {0,1} lane masks (m_ref: row 0 zeroes lane%W == 0 after a
+    +1 roll, row 1 zeroes lane%W == W-1 after a -1 roll — multiplication
+    replaces the per-example jnp.where) and a block-diagonal pool
+    selection matrix.
+    """
+    xf = x_ref[0]                                         # (H, group*W) f32
+    m0 = m_ref[0:1]                                       # (1, gw) f32
+    m1 = m_ref[1:2]
+    x_p1 = (pltpu.roll(xf, 1, axis=1) * m0).astype(jnp.bfloat16)
+    x_m1 = (pltpu.roll(xf, gw - 1, axis=1) * m1).astype(jnp.bfloat16)
+    copies = (x_p1, xf.astype(jnp.bfloat16), x_m1)
+    a = a_ref[...]
+    ones = jnp.ones((1, gw), jnp.bfloat16)
+    zero1 = jnp.zeros((1, gw), jnp.bfloat16)
+    fill = jnp.zeros((_KPAD - _K, gw), jnp.bfloat16)
+    for t in range(tiles):
+        h0 = t * _TILE
+        pieces = []
+        for xd in copies:
+            if t == 0:
+                pieces.append(jnp.concatenate([zero1, xd[:_TILE + 1]], axis=0))
+            elif t == tiles - 1:
+                pieces.append(jnp.concatenate([xd[h0 - 1:h0 + _TILE], zero1], axis=0))
+            else:
+                pieces.append(xd[h0 - 1:h0 + _TILE + 1])
+        xs = jnp.concatenate(pieces + [ones, fill], axis=0)      # (64, gw)
+        out = jax.lax.dot_general(a, xs, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        y = jnp.maximum(out, 0.0)                                # (512, gw)
+        ph = jnp.maximum(y[:256], y[256:])                       # H-pool
+        rolled = pltpu.roll(ph, gw - 1, axis=1) * m1             # ph >= 0
+        pw = jnp.maximum(ph, rolled).astype(jnp.bfloat16)
+        pooled = jax.lax.dot_general(pw, c_ref[...], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        out_ref[0, t] = pooled.astype(jnp.bfloat16)
+
+
+def fused_conv_block1_batched(feats, conv_kernel, bn_scale, bn_bias, bn_mean,
+                              bn_var, *, eps: float = 1e-5, group: int = 8,
+                              interpret: bool = False,
+                              pad_out_w: int | None = None):
+    """Batched fused block1: (B, H, W, 1) f32 -> (B, H//2, W//2, 32) bf16.
+
+    Identical contract to fused_conv_block1 (reference src/models/cnn.py:
+    24-29 eval mode) but processes `group` examples per grid step, stacked
+    along the lane axis on the host side (an XLA relayout of the ~80 KB
+    input, negligible next to the 3.3 MB/clip the fusion saves). B is
+    zero-padded up to a multiple of `group` and sliced back after.
+    """
+    b, h, w, cin = feats.shape
+    if cin != 1 or conv_kernel.shape != (3, 3, 1, _COUT):
+        raise ValueError("fused_conv_block1_batched handles the 1->32 block only")
+    if h % _TILE or h < 2 * _TILE or w < 4:
+        raise ValueError(f"unsupported feature shape {(h, w)}")
+    if group < 1:
+        raise ValueError(f"group must be >= 1, got {group}")
+    s = np.asarray(bn_scale, np.float64) / np.sqrt(np.asarray(bn_var, np.float64) + eps)
+    t = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * s
+    a = _constants_block1(np.asarray(conv_kernel), s, t)
+    g, w2 = group, w // 2
+    gw = g * w
+    cmat = np.zeros((gw, g * w2), np.float32)
+    for e in range(g):
+        cmat[e * w + 2 * np.arange(w2), e * w2 + np.arange(w2)] = 1.0
+    masks = np.ones((2, gw), np.float32)
+    masks[0, np.arange(g) * w] = 0.0          # lane % W == 0 (left edge)
+    masks[1, np.arange(g) * w + w - 1] = 0.0  # lane % W == W-1 (right edge)
+    bpad = -((-b) // g) * g
+    x = feats[..., 0]
+    if bpad != b:
+        x = jnp.pad(x, ((0, bpad - b), (0, 0), (0, 0)))
+    bg = bpad // g
+    xg = x.reshape(bg, g, h, w).transpose(0, 2, 1, 3).reshape(bg, h, gw)
+    tiles = h // _TILE
+    out = pl.pallas_call(
+        functools.partial(_kernel_block1_batched, gw=gw, tiles=tiles),
+        grid=(bg,),
+        in_specs=[
+            pl.BlockSpec((1, h, gw), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N, _KPAD), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw, g * w2), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gw), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tiles, 256, g * w2), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, tiles, 256, g * w2), jnp.bfloat16),
+        interpret=interpret,
+    )(xg, jnp.asarray(a), jnp.asarray(cmat.astype(jnp.bfloat16)),
+      jnp.asarray(masks))
+    # ungroup lanes, then the same rows -> NHWC relayout as the unbatched
+    # wrapper (rows are c*8 + h2 per tile)
+    y = out.reshape(bg, tiles, 256, g, w2).transpose(0, 3, 1, 2, 4)
+    y = y.reshape(bpad, tiles, _COUT, _TILE // 2, w2)[:b]
+    y = y.transpose(0, 1, 3, 4, 2).reshape(b, h // 2, w2, _COUT)
+    if pad_out_w is not None and pad_out_w > w2:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_out_w - w2), (0, 0)))
+    return y
